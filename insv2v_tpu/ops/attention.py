@@ -1,0 +1,196 @@
+"""Multi-head attention: fused-XLA reference path + Pallas TPU flash kernel.
+
+This replaces the reference's native attention backends — xformers CUDA
+kernels (modules/video_unet_temporal/attention.py:26-30,205-231), torch SDPA
+(motion_module.py:310-316) and the manual einsum fallback
+(motion_module.py:338-351) — with two TPU-native paths:
+
+  * ``attention``: softmax(q k^T / sqrt(d)) v with f32 logits/softmax,
+    expressed so XLA fuses it; used for short sequences (cross-attention
+    over 77 text tokens, temporal attention over <=32 frames) and as the
+    recompute path for the flash kernel's backward.
+  * ``flash_attention``: an online-softmax Pallas kernel tiled for the MXU,
+    used for the long spatial sequences (H*W up to a few thousand) where
+    materializing the logits matrix would blow HBM bandwidth.
+
+``dot_attention`` auto-dispatches between the two and wires a custom VJP
+(backward recomputes attention with the XLA path — the standard
+memory/compute trade that keeps training correct without a bespoke
+backward kernel).
+
+Layouts: q: (B, H, Sq, D), k/v: (B, H, Sk, D), output (B, H, Sq, D).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU builds too; guard anyway
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+__all__ = ["attention", "flash_attention", "dot_attention"]
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Plain attention with f32 logits and softmax; output in q.dtype."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * jnp.float32(scale)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, blk_k: int, sk: int):
+    """Online-softmax attention over one (batch*head, q-block).
+
+    q_ref: (blk_q, Dp) VMEM; k_ref/v_ref: (Skp, Dp) VMEM; o_ref: (blk_q, Dp).
+    Padded key rows (index >= sk) are masked to -inf before the softmax.
+    """
+    q = q_ref[:].astype(jnp.float32) * scale
+    blk_q, dp = q.shape
+    skp = k_ref.shape[0]
+    num_k_blocks = skp // blk_k
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (blk_q, blk_k)
+        col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1) + j * blk_k
+        s = jnp.where(col < sk, s, -jnp.inf)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((blk_q, 1), -jnp.inf, dtype=jnp.float32)
+    l0 = jnp.zeros((blk_q, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((blk_q, dp), dtype=jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    blk_q: int = 256,
+    blk_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas flash-attention forward. q: (B,H,Sq,D); k,v: (B,H,Sk,D)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    dp = _round_up(d, 128)
+    blk_q = min(blk_q, _round_up(sq, 128))
+    blk_k = min(blk_k, _round_up(sk, 128))
+    sqp = _round_up(sq, blk_q)
+    skp = _round_up(sk, blk_k)
+
+    qp = jnp.pad(q.reshape(b * h, sq, d), ((0, 0), (0, sqp - sq), (0, dp - d)))
+    kp = jnp.pad(k.reshape(b * h, sk, d), ((0, 0), (0, skp - sk), (0, dp - d)))
+    vp = jnp.pad(v.reshape(b * h, sk, d), ((0, 0), (0, skp - sk), (0, dp - d)))
+
+    kernel = functools.partial(_flash_kernel, scale=scale, blk_k=blk_k, sk=sk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, sqp // blk_q),
+        in_specs=[
+            pl.BlockSpec((None, blk_q, dp), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((None, skp, dp), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((None, skp, dp), lambda bh, iq: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, blk_q, dp), lambda bh, iq: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq, :d].reshape(b, h, sq, d)
+
+
+# Flash forward with XLA-recompute backward: the flash kernel is only used
+# for the primal; gradients re-run plain attention (whose memory spike is
+# acceptable under jax.checkpoint at block granularity).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_with_vjp(q, k, v, scale):
+    return flash_attention(q, k, v, scale=scale)
+
+
+def _flash_fwd(q, k, v, scale):
+    return flash_attention(q, k, v, scale=scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention(q_, k_, v_, scale=scale), q, k, v)
+    return vjp(g)
+
+
+_flash_with_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+# Sequences shorter than this don't benefit from tiling — the fused XLA
+# path is faster and avoids padding waste (cross-attn Sk=77, temporal F<=32).
+_FLASH_MIN_SEQ = 512
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def dot_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Auto-dispatching attention. Flash on TPU for long sequences."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if use_flash is None:
+        use_flash = (
+            _on_tpu()
+            and q.shape[2] >= _FLASH_MIN_SEQ
+            and k.shape[2] >= _FLASH_MIN_SEQ
+        )
+    if use_flash:
+        return _flash_with_vjp(q, k, v, scale)
+    return attention(q, k, v, scale=scale)
