@@ -1,0 +1,225 @@
+"""PyTorch state-dict -> Flax param-pytree conversion.
+
+First-class component (SURVEY.md §5.4): the reference initializes from a
+three-source weight surgery — SD/ip2p UNet weights merged with AnimateDiff
+motion weights (pl_trainer/instruct_p2p_video.py:222-233), VAE from
+``vqvae.ckpt`` and CLIP from ``text.ckpt`` (pl_trainer/diffusion.py:230-236,
+274-280), plus DeepSpeed ``_forward_module.`` prefix stripping
+(insv2v_run_loveu_tgve.py:61).  This module reproduces those rules against
+our Flax module trees.
+
+Value transforms:
+  * conv weight (O, I, kh, kw)  -> kernel (kh, kw, I, O)
+  * linear weight (O, I)        -> kernel (I, O)
+  * norm weight/bias (C,)       -> scale/bias
+Key transforms are rule tables (regex) per model family; the result is a
+nested dict matching ``model.init(...)['params']``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Iterable, List, Mapping, Tuple
+
+import numpy as np
+
+__all__ = [
+    "strip_prefixes",
+    "merge_unet_motion_state_dicts",
+    "nest",
+    "convert_vae_state_dict",
+    "convert_clip_text_state_dict",
+    "convert_unet3d_state_dict",
+]
+
+Array = np.ndarray
+
+
+def _to_numpy(v: Any) -> Array:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().float().numpy()
+    return np.asarray(v)
+
+
+def strip_prefixes(sd: Mapping[str, Any], prefixes: Iterable[str] = ("_forward_module.",)) -> Dict[str, Any]:
+    """Strip launcher/wrapper prefixes (DeepSpeed ZeRO-2 exports carry
+    ``_forward_module.``; Lightning fused checkpoints may nest under
+    ``state_dict``)."""
+    if "state_dict" in sd and isinstance(sd["state_dict"], Mapping):
+        sd = sd["state_dict"]
+    out = {}
+    for k, v in sd.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def nest(flat: Mapping[str, Any]) -> Dict[str, Any]:
+    """'a/b/c' -> {'a': {'b': {'c': v}}}"""
+    tree: Dict[str, Any] = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def _convert_value(name: str, v: Array, is_norm: bool) -> Tuple[str, Array]:
+    """Map a torch parameter leaf-name + value to flax leaf-name + value."""
+    if name == "weight":
+        if v.ndim == 4:  # conv OIHW -> HWIO
+            return "kernel", np.transpose(v, (2, 3, 1, 0))
+        if v.ndim == 2:  # linear (O,I) -> (I,O)
+            return "kernel", np.transpose(v)
+        return ("scale", v) if is_norm else ("kernel", v)
+    if name == "bias":
+        return "bias", v
+    if name in ("weight_ih", "weight_hh"):  # unused; keep mechanical
+        return name, np.transpose(v)
+    return name, v
+
+
+_NORM_HINTS = ("norm", "layer_norm", "ff_norm", "final_layer_norm")
+
+
+def _is_norm_param(torch_key: str) -> bool:
+    mod_path = torch_key.rsplit(".", 1)[0]
+    last = mod_path.rsplit(".", 1)[-1]
+    return any(h in last for h in _NORM_HINTS)
+
+
+def _apply_rules(key: str, rules: List[Tuple[str, str]]) -> str:
+    for pat, rep in rules:
+        key = re.sub(pat, rep, key)
+    return key
+
+
+def _convert_with_rules(
+    sd: Mapping[str, Any], rules: List[Tuple[str, str]]
+) -> Dict[str, Any]:
+    flat: Dict[str, Array] = {}
+    for k, v in sd.items():
+        v = _to_numpy(v)
+        mod_path, leaf = k.rsplit(".", 1)
+        leaf, v = _convert_value(leaf, v, _is_norm_param(k))
+        new_mod = _apply_rules(mod_path, rules)
+        flat[new_mod.replace(".", "/") + "/" + leaf] = v
+    return nest(flat)
+
+
+# --- VAE (modules/vqvae/model.py + kl_autoencoder/autoencoder.py) ---------
+
+_VAE_RULES: List[Tuple[str, str]] = [
+    (r"\bdown\.(\d+)\.block\.(\d+)", r"down_\1_block_\2"),
+    (r"\bdown\.(\d+)\.attn\.(\d+)", r"down_\1_attn_\2"),
+    (r"\bdown\.(\d+)\.downsample", r"down_\1_downsample"),
+    (r"\bup\.(\d+)\.block\.(\d+)", r"up_\1_block_\2"),
+    (r"\bup\.(\d+)\.attn\.(\d+)", r"up_\1_attn_\2"),
+    (r"\bup\.(\d+)\.upsample", r"up_\1_upsample"),
+    (r"\bmid\.block_1", "mid_block_1"),
+    (r"\bmid\.attn_1", "mid_attn_1"),
+    (r"\bmid\.block_2", "mid_block_2"),
+]
+
+
+def convert_vae_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """vqvae.ckpt -> AutoencoderKL params. Drops the unused 'loss.' tree."""
+    sd = strip_prefixes(sd)
+    sd = {k: v for k, v in sd.items() if not k.startswith("loss.")}
+    return _convert_with_rules(sd, _VAE_RULES)
+
+
+# --- CLIP text encoder (modules/openclip/modules.py:88-135) ---------------
+
+_CLIP_RULES: List[Tuple[str, str]] = [
+    (r"^transformer\.", ""),
+    (r"\btext_model\.", "text_model/"),
+    (r"\bembeddings\.token_embedding", "token_embedding"),
+    (r"\bembeddings\.position_embedding", "position_embedding"),
+    (r"\bencoder\.layers\.(\d+)", r"layers_\1"),
+]
+
+
+def convert_clip_text_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF CLIPTextModel state dict -> our ClipTextEncoder params.
+
+    Handles the ``position_ids`` pop the reference performs on load
+    (openclip/modules.py:133-135) and converts nn.Embedding weights to
+    flax ``embedding`` leaves.
+    """
+    sd = strip_prefixes(sd)
+    flat: Dict[str, Array] = {}
+    for k, v in sd.items():
+        if k.endswith("position_ids"):
+            continue
+        v = _to_numpy(v)
+        mod_path, leaf = k.rsplit(".", 1)
+        new_mod = _apply_rules(mod_path, _CLIP_RULES)
+        if new_mod.endswith(("token_embedding", "position_embedding")):
+            leaf_name, val = "embedding", v  # no transpose for embeddings
+        else:
+            leaf_name, val = _convert_value(leaf, v, _is_norm_param(k))
+        flat[new_mod.replace(".", "/") + "/" + leaf_name] = val
+    tree = nest(flat)
+    return tree.get("text_model", tree)
+
+
+# --- UNet3D (modules/video_unet_temporal/*) -------------------------------
+
+_UNET_RULES: List[Tuple[str, str]] = [
+    (r"\bdown_blocks\.(\d+)", r"down_blocks_\1"),
+    (r"\bup_blocks\.(\d+)", r"up_blocks_\1"),
+    (r"\bresnets\.(\d+)", r"resnets_\1"),
+    (r"\battentions\.(\d+)", r"attentions_\1"),
+    (r"\bmotion_modules\.(\d+)", r"motion_modules_\1"),
+    (r"\bdownsamplers\.0", "downsampler"),
+    (r"\bupsamplers\.0", "upsampler"),
+    (r"\btransformer_blocks\.(\d+)", r"transformer_blocks_\1"),
+    (r"\battention_blocks\.(\d+)", r"attention_blocks_\1"),
+    (r"\bnorms\.(\d+)", r"norms_\1"),
+    (r"\btemporal_transformer\.", ""),  # VanillaTemporalModule wrapper is flattened
+    (r"\bff\.net\.0\.proj", "ff/geglu_proj"),
+    (r"\bff\.net\.2", "ff/proj_out"),
+    (r"\bto_out\.0", "to_out"),
+    (r"\btime_embedding\.linear_1", "time_embedding/linear_1"),
+    (r"\btime_embedding\.linear_2", "time_embedding/linear_2"),
+]
+
+
+def merge_unet_motion_state_dicts(
+    sd_unet: Mapping[str, Any],
+    sd_motion: Mapping[str, Any],
+    expected_total: int | None = None,
+) -> Dict[str, Any]:
+    """The InstructP2PVideoTrainerTemporal merge (instruct_p2p_video.py:222-233):
+    union of the SD/ip2p UNet weights and the AnimateDiff motion weights,
+    asserting the union covers the model exactly; ``pos_encoder.pe``
+    buffers are dropped (regenerated at our PE table size)."""
+    sd = dict(strip_prefixes(sd_unet))
+    motion = strip_prefixes(sd_motion)
+    overlap = set(sd) & set(motion)
+    if overlap:
+        raise ValueError(f"unexpected key overlap in merge: {sorted(overlap)[:5]}")
+    sd.update(motion)
+    if expected_total is not None and len(sd) != expected_total:
+        raise ValueError(
+            f"improper state dict length, got {len(sd)} expected {expected_total}"
+        )
+    return sd
+
+
+def convert_unet3d_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Fused insv2v/SD+motion state dict -> UNet3DConditionModel params.
+
+    ``pos_encoder.pe`` buffers are dropped: the PE table is a deterministic
+    function of (dim, max_len) and is materialized as a constant in our
+    model (the reference itself regenerates it on size mismatch,
+    instruct_p2p_video.py:230-232).
+    """
+    sd = strip_prefixes(sd)
+    sd = {k: v for k, v in sd.items() if "pos_encoder.pe" not in k}
+    return _convert_with_rules(sd, _UNET_RULES)
