@@ -1,0 +1,527 @@
+"""UNet3DConditionModel: SD-1.5 UNet inflated to video + AnimateDiff motion
+modules, as Flax modules over the canonical ``(B, F, H, W, C)`` layout.
+
+Re-designs the reference model family (modules/video_unet_temporal/
+{unet.py, unet_blocks.py, attention.py, motion_module.py, resnet.py})
+TPU-first:
+
+  * one canonical channels-last video layout; spatial modules see
+    ``(B*F, H*W, C)`` and temporal modules ``(B*H*W, F, C)`` via pure
+    reshape/transpose (the reference's einops churn collapses to this);
+  * convs are 2D convs with (B, F) as a joint batch — XLA:TPU lowers this
+    to its native NHWC conv, no per-frame Python loop (InflatedConv3d,
+    resnet.py:10-18);
+  * GroupNorm statistics match torch semantics exactly: ResnetBlock3D
+    norms pool ACROSS frames (5D GN), transformer norms are per-frame
+    (resnet.py:141 vs attention.py:95,101 — see ops/norms.py);
+  * attention goes through ``dot_attention`` (Pallas flash on TPU for the
+    long spatial sequences);
+  * ``video_start_index`` is a traced scalar so sliding-window inference
+    jits once (dynamic PE slice, motion_module.py:236-241).
+
+Param-tree names mirror the torch state-dict paths through
+``convert_unet3d_state_dict`` — e.g. ``down_blocks_0/attentions_1/
+transformer_blocks_0/attn2/to_k/kernel``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from insv2v_tpu.ops.attention import attention as plain_attention
+from insv2v_tpu.ops.attention import dot_attention
+from insv2v_tpu.ops.embeddings import (
+    temporal_pe_slice,
+    temporal_positional_encoding_table,
+    timestep_embedding,
+)
+from insv2v_tpu.ops.norms import group_norm, layer_norm
+from insv2v_tpu.ops.resize import nearest_upsample_2x
+from insv2v_tpu.utils.registry import register
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """configs/instruct_v2v.yaml:40-85."""
+
+    in_channels: int = 8
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock3D",
+        "CrossAttnDownBlock3D",
+        "CrossAttnDownBlock3D",
+        "DownBlock3D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock3D",
+        "CrossAttnUpBlock3D",
+        "CrossAttnUpBlock3D",
+        "CrossAttnUpBlock3D",
+    )
+    layers_per_block: int = 2
+    attention_head_dim: int = 8  # = num heads (diffusers naming quirk)
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    use_motion_module: bool = True
+    motion_module_resolutions: Tuple[int, ...] = (1, 2, 4, 8)
+    motion_module_mid_block: bool = False
+    motion_num_attention_heads: int = 8
+    motion_num_transformer_block: int = 1
+    motion_attention_block_types: Tuple[str, ...] = ("Temporal_Self", "Temporal_Self")
+    motion_max_seq_length: int = 32
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    remat: bool = False
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @classmethod
+    def tiny(cls, **kw) -> "UNetConfig":
+        """Fixture-sized config for CPU tests."""
+        defaults = dict(
+            block_out_channels=(8, 16, 16, 16),
+            attention_head_dim=2,
+            cross_attention_dim=12,
+            norm_num_groups=4,
+            motion_num_attention_heads=2,
+            motion_max_seq_length=8,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+class GroupNorm(nn.Module):
+    """Torch-compatible GN; reduce_axes=None -> all non-batch axes."""
+
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, reduce_axes=None):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(x, scale, bias, min(self.num_groups, c), self.eps,
+                          reduce_axes=reduce_axes)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return layer_norm(x, scale, bias, self.eps)
+
+
+class TimestepEmbedding(nn.Module):
+    """diffusers TimestepEmbedding MLP (unet.py:98)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        h = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb)
+        h = jax.nn.silu(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(h)
+
+
+class CrossAttention(nn.Module):
+    """diffusers ``Attention``: to_q/k/v (no bias) + to_out (bias)."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        split = lambda t, s: t.reshape(b, s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        o = dot_attention(split(q, sq), split(k, sk), split(v, sk),
+                          use_flash=self.use_flash)
+        o = o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(o)
+
+
+class FeedForward(nn.Module):
+    """diffusers GEGLU FeedForward (ff.net.0.proj + ff.net.2)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Spatial: self-attn + text cross-attn + GEGLU FF (attention.py:141-270)."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = x + CrossAttention(self.heads, self.head_dim, dtype=self.dtype,
+                               name="attn1")(LayerNorm(name="norm1")(x))
+        x = x + CrossAttention(self.heads, self.head_dim, dtype=self.dtype,
+                               use_flash=False, name="attn2")(
+            LayerNorm(name="norm2")(x), context)
+        x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
+            LayerNorm(name="norm3")(x))
+        return x
+
+
+class Transformer3DModel(nn.Module):
+    """Per-frame spatial transformer (attention.py:33-138).
+
+    x: (B, F, H, W, C); context: (B, L, D_text). Frames fold into batch.
+    """
+
+    heads: int
+    head_dim: int
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, f, h, w, c = x.shape
+        residual = x
+        xf = x.reshape(b * f, h, w, c)
+        # per-frame GN stats (frames already folded), eps=1e-6 (attention.py:60)
+        xf = GroupNorm(self.num_groups, eps=1e-6, name="norm")(xf)
+        # proj_in is a 1x1 conv (use_linear_projection=False)
+        xf = nn.Conv(self.heads * self.head_dim, (1, 1), dtype=self.dtype,
+                     name="proj_in")(xf)
+        seq = xf.reshape(b * f, h * w, -1)
+        ctx = jnp.repeat(context, f, axis=0)  # (B*F, L, D)
+        seq = BasicTransformerBlock(self.heads, self.head_dim, dtype=self.dtype,
+                                    name="transformer_blocks_0")(seq, ctx)
+        xf = seq.reshape(b * f, h, w, -1)
+        xf = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(xf)
+        return xf.reshape(b, f, h, w, c) + residual
+
+
+class VersatileAttention(nn.Module):
+    """Temporal self-attention with sinusoidal PE (motion_module.py:245-336).
+
+    Operates on (B*H*W, F, C); the PE (sliced at video_start_index) is
+    added to the hidden states before q/k/v projection.
+    """
+
+    heads: int
+    head_dim: int
+    max_len: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_start_index):
+        f = x.shape[1]
+        pe = jnp.asarray(
+            temporal_positional_encoding_table(x.shape[-1], self.max_len)
+        )
+        x = x + temporal_pe_slice(pe, video_start_index, f)[None].astype(x.dtype)
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        b = x.shape[0]
+        split = lambda t: t.reshape(b, f, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        # F <= 32: always the fused XLA path (tiny seq, huge batch)
+        o = plain_attention(split(q), split(k), split(v))
+        o = o.transpose(0, 2, 1, 3).reshape(b, f, inner)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
+
+
+class TemporalTransformerBlock(nn.Module):
+    """2x (LN + temporal self-attn) + LN + FF (motion_module.py:155-217)."""
+
+    heads: int
+    head_dim: int
+    attention_block_types: Tuple[str, ...]
+    max_len: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_start_index):
+        for i, block_type in enumerate(self.attention_block_types):
+            assert block_type == "Temporal_Self", block_type
+            h = LayerNorm(name=f"norms_{i}")(x)
+            x = x + VersatileAttention(
+                self.heads, self.head_dim, max_len=self.max_len,
+                dtype=self.dtype, name=f"attention_blocks_{i}",
+            )(h, video_start_index)
+        x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
+            LayerNorm(name="ff_norm")(x))
+        return x
+
+
+class MotionModule(nn.Module):
+    """VanillaTemporalModule + TemporalTransformer3DModel flattened
+    (motion_module.py:42-152). x: (B, F, H, W, C)."""
+
+    heads: int
+    num_transformer_block: int
+    attention_block_types: Tuple[str, ...]
+    max_len: int
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_start_index):
+        b, f, h, w, c = x.shape
+        residual = x
+        head_dim = c // self.heads
+        # per-frame GN stats (motion_module.py:131-136), eps 1e-6
+        xf = x.reshape(b * f, h, w, c)
+        xf = GroupNorm(self.num_groups, eps=1e-6, name="norm")(xf)
+        seq = xf.reshape(b * f, h * w, c)
+        seq = nn.Dense(c, dtype=self.dtype, name="proj_in")(seq)
+        # fold pixels into batch: (B*F, HW, C) -> (B*HW, F, C)
+        seq = seq.reshape(b, f, h * w, c).transpose(0, 2, 1, 3).reshape(b * h * w, f, c)
+        for i in range(self.num_transformer_block):
+            seq = TemporalTransformerBlock(
+                self.heads, head_dim, self.attention_block_types, self.max_len,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(seq, video_start_index)
+        seq = seq.reshape(b, h * w, f, c).transpose(0, 2, 1, 3)
+        seq = nn.Dense(c, dtype=self.dtype, name="proj_out",
+                       kernel_init=nn.initializers.zeros)(seq)
+        return seq.reshape(b, f, h, w, c) + residual
+
+
+class ResnetBlock3D(nn.Module):
+    """resnet.py:110-204: GN(5D, across frames) -> SiLU -> conv -> +temb ->
+    GN -> SiLU -> conv, with 1x1 shortcut on channel change."""
+
+    out_channels: int
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = GroupNorm(self.num_groups, eps=self.eps, name="norm1")(x)
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            jax.nn.silu(temb))
+        h = h + t[:, None, None, None, :]
+        h = GroupNorm(self.num_groups, eps=self.eps, name="norm2")(h)
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample3D(nn.Module):
+    """stride-2 conv, padding 1 (resnet.py:76-107)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(x.shape[-1], (3, 3), strides=2, padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample3D(nn.Module):
+    """nearest x2 spatial + conv (resnet.py:21-73)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        x = nearest_upsample_2x(x.reshape(b * f, h, w, c)).reshape(b, f, 2 * h, 2 * w, c)
+        return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+def _motion_kwargs(cfg: UNetConfig):
+    return dict(
+        heads=cfg.motion_num_attention_heads,
+        num_transformer_block=cfg.motion_num_transformer_block,
+        attention_block_types=cfg.motion_attention_block_types,
+        max_len=cfg.motion_max_seq_length,
+        num_groups=cfg.norm_num_groups,
+    )
+
+
+class DownBlock3D(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    has_cross_attention: bool
+    use_motion: bool
+    add_downsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context, video_start_index):
+        cfg = self.cfg
+        states = []
+        for i in range(cfg.layers_per_block):
+            x = ResnetBlock3D(self.out_channels, cfg.norm_num_groups, cfg.norm_eps,
+                              dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+            if self.has_cross_attention:
+                x = Transformer3DModel(
+                    cfg.attention_head_dim,
+                    self.out_channels // cfg.attention_head_dim,
+                    cfg.norm_num_groups, dtype=self.dtype,
+                    name=f"attentions_{i}",
+                )(x, context)
+            if self.use_motion:
+                x = MotionModule(**_motion_kwargs(cfg), dtype=self.dtype,
+                                 name=f"motion_modules_{i}")(x, video_start_index)
+            states.append(x)
+        if self.add_downsample:
+            x = Downsample3D(dtype=self.dtype, name="downsampler")(x)
+            states.append(x)
+        return x, states
+
+
+class MidBlock3D(nn.Module):
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context, video_start_index):
+        cfg = self.cfg
+        ch = cfg.block_out_channels[-1]
+        x = ResnetBlock3D(ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype,
+                          name="resnets_0")(x, temb)
+        x = Transformer3DModel(
+            cfg.attention_head_dim, ch // cfg.attention_head_dim,
+            cfg.norm_num_groups, dtype=self.dtype, name="attentions_0",
+        )(x, context)
+        if cfg.use_motion_module and cfg.motion_module_mid_block:
+            x = MotionModule(**_motion_kwargs(cfg), dtype=self.dtype,
+                             name="motion_modules_0")(x, video_start_index)
+        x = ResnetBlock3D(ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype,
+                          name="resnets_1")(x, temb)
+        return x
+
+
+class UpBlock3D(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    has_cross_attention: bool
+    use_motion: bool
+    add_upsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, temb, context, video_start_index):
+        cfg = self.cfg
+        for i in range(cfg.layers_per_block + 1):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock3D(self.out_channels, cfg.norm_num_groups, cfg.norm_eps,
+                              dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+            if self.has_cross_attention:
+                x = Transformer3DModel(
+                    cfg.attention_head_dim,
+                    self.out_channels // cfg.attention_head_dim,
+                    cfg.norm_num_groups, dtype=self.dtype,
+                    name=f"attentions_{i}",
+                )(x, context)
+            if self.use_motion:
+                x = MotionModule(**_motion_kwargs(cfg), dtype=self.dtype,
+                                 name=f"motion_modules_{i}")(x, video_start_index)
+        if self.add_upsample:
+            x = Upsample3D(dtype=self.dtype, name="upsampler")(x)
+        return x
+
+
+@register("UNet3DConditionModel")
+class UNet3DConditionModel(nn.Module):
+    """Forward (unet.py:296-434): sample (B,F,H,W,C_in), timesteps (B,),
+    encoder_hidden_states (B,L,D_text), traced video_start_index -> eps
+    (B,F,H,W,C_out)."""
+
+    cfg: UNetConfig = UNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 video_start_index=0):
+        cfg = self.cfg
+        if jnp.ndim(timesteps) == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        ).astype(self.dtype)
+        temb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
+                                 name="time_embedding")(t_emb)
+
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    dtype=self.dtype, name="conv_in")(sample)
+
+        down_cls = nn.remat(DownBlock3D, static_argnums=()) if cfg.remat else DownBlock3D
+        mid_cls = nn.remat(MidBlock3D) if cfg.remat else MidBlock3D
+        up_cls = UpBlock3D  # skip-list popping precludes naive remat here
+
+        skips = [x]
+        out_ch = cfg.block_out_channels[0]
+        for i, block_type in enumerate(cfg.down_block_types):
+            res = 2 ** i
+            out_ch = cfg.block_out_channels[i]
+            is_final = i == len(cfg.block_out_channels) - 1
+            x, states = down_cls(
+                cfg, out_ch,
+                has_cross_attention=(block_type == "CrossAttnDownBlock3D"),
+                use_motion=cfg.use_motion_module and res in cfg.motion_module_resolutions,
+                add_downsample=not is_final,
+                dtype=self.dtype, name=f"down_blocks_{i}",
+            )(x, temb, encoder_hidden_states, video_start_index)
+            skips.extend(states)
+
+        x = mid_cls(cfg, dtype=self.dtype, name="mid_block")(
+            x, temb, encoder_hidden_states, video_start_index)
+
+        rev_channels = list(reversed(cfg.block_out_channels))
+        prev_ch = rev_channels[0]
+        for i, block_type in enumerate(cfg.up_block_types):
+            res = 2 ** (len(cfg.up_block_types) - 1 - i)
+            out_ch = rev_channels[i]
+            is_final = i == len(cfg.up_block_types) - 1
+            x = up_cls(
+                cfg, out_ch,
+                has_cross_attention=(block_type == "CrossAttnUpBlock3D"),
+                use_motion=cfg.use_motion_module and res in cfg.motion_module_resolutions,
+                add_upsample=not is_final,
+                dtype=self.dtype, name=f"up_blocks_{i}",
+            )(x, skips, temb, encoder_hidden_states, video_start_index)
+            prev_ch = out_ch
+
+        x = GroupNorm(cfg.norm_num_groups, eps=cfg.norm_eps, name="conv_norm_out")(x)
+        x = jax.nn.silu(x)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(x)

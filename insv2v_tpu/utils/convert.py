@@ -87,8 +87,10 @@ _NORM_HINTS = ("norm", "layer_norm", "ff_norm", "final_layer_norm")
 
 
 def _is_norm_param(torch_key: str) -> bool:
-    mod_path = torch_key.rsplit(".", 1)[0]
-    last = mod_path.rsplit(".", 1)[-1]
+    parts = torch_key.split(".")[:-1]  # module path components
+    last = parts[-1] if parts else ""
+    if last.isdigit() and len(parts) >= 2:  # ModuleList entry, e.g. norms.0
+        last = parts[-2]
     return any(h in last for h in _NORM_HINTS)
 
 
