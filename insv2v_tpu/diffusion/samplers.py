@@ -1,0 +1,207 @@
+"""Dual-CFG video-editing samplers as jit-once ``lax.scan`` loops.
+
+Replaces the reference's Python-loop pipelines (pl_trainer/inference/
+inference.py): ``InferenceIP2PVideo.__call__`` (:163-218),
+``second_clip_forward`` ref-frame noise anchoring (:220-289) and the
+optical-flow variant (:291-398) — re-expressed so that:
+
+  * the 3-way CFG batch (uncond / img-cond / img+text-cond) is built and
+    run as ONE fused UNet call per step (same algorithm, inference.py:183-194);
+  * the 20-step denoise loop is a ``lax.scan`` carrying ``(latent, rng)``
+    — no host round-trips per step;
+  * ref-frame noise correction uses a static frame mask with a traced
+    ``num_ref_frames``, so every window of a long video runs through the
+    same compiled function;
+  * flow-compensated stitching precomputes per-window flow fields and
+    validity masks once (they are step-invariant) and warps only the
+    per-step delta inside the scan.
+
+All latents are (B, F, h, w, C) channels-last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from insv2v_tpu.diffusion.schedules import SamplerTables, sampler_step
+from insv2v_tpu.ops.resize import warp_image
+
+__all__ = [
+    "rescale_noise_cfg",
+    "dual_cfg_eps",
+    "sample_video_window",
+    "split_windows",
+    "WindowSpec",
+]
+
+UnetApply = Callable[..., jnp.ndarray]
+# unet_apply(params, sample_bfhwc, t_b, context_bld, video_start_index) -> eps
+
+
+def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray,
+                      guidance_rescale: float) -> jnp.ndarray:
+    """arXiv 2305.08891 §3.4 overexposure fix (inference.py:13-24)."""
+    axes = tuple(range(1, noise_cfg.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+def dual_cfg_eps(
+    unet_apply: UnetApply,
+    params: Any,
+    latent: jnp.ndarray,
+    img_cond: jnp.ndarray,
+    t: jnp.ndarray,
+    text_uncond: jnp.ndarray,
+    text_cond: jnp.ndarray,
+    text_cfg: float,
+    img_cfg: float,
+    video_start_index,
+    guidance_rescale: float = 0.0,
+) -> jnp.ndarray:
+    """One fused 3xCFG UNet call + guidance combine (inference.py:183-206).
+
+    CFG truth table (inference.py:174-178)::
+
+            e1(uncond) | e2(img)  | e3(img+text)
+      text      x      |    x     |     v
+      img       x      |    v     |     v
+    """
+    b = latent.shape[0]
+    zeros = jnp.zeros_like(img_cond)
+    lat_in = jnp.concatenate([latent, latent, latent], axis=0)
+    cond_in = jnp.concatenate([zeros, img_cond, img_cond], axis=0)
+    sample = jnp.concatenate([lat_in, cond_in], axis=-1)
+    ctx = jnp.concatenate([text_uncond, text_uncond, text_cond], axis=0)
+    t_b = jnp.broadcast_to(jnp.asarray(t), (3 * b,))
+    eps3 = unet_apply(params, sample, t_b, ctx, video_start_index)
+    e1, e2, e3 = jnp.split(eps3.astype(jnp.float32), 3, axis=0)
+    eps = e1 + img_cfg * (e2 - e1) + text_cfg * (e3 - e2)
+    if guidance_rescale > 0:
+        eps = rescale_noise_cfg(eps, e1, guidance_rescale)
+    return eps
+
+
+def _frame_mask(num_frames: int, num_ref: jnp.ndarray) -> jnp.ndarray:
+    """(F,) float mask: 1 for ref frames (index < num_ref)."""
+    return (jnp.arange(num_frames) < num_ref).astype(jnp.float32)
+
+
+def sample_video_window(
+    unet_apply: UnetApply,
+    params: Any,
+    tables: SamplerTables,
+    latent: jnp.ndarray,
+    img_cond: jnp.ndarray,
+    text_cond: jnp.ndarray,
+    text_uncond: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    text_cfg: float = 7.5,
+    img_cfg: float = 1.2,
+    guidance_rescale: float = 0.0,
+    video_start_index=0,
+    latent_ref: Optional[jnp.ndarray] = None,
+    num_ref_frames=0,
+    noise_correct_step: float = 0.0,
+    flows: Optional[jnp.ndarray] = None,
+    flow_masks: Optional[jnp.ndarray] = None,
+) -> dict:
+    """Denoise one 16-frame window. First window: leave ``latent_ref=None``.
+
+    Follow-up windows (inference.py:220-289): ``latent`` enters with its
+    first ``num_ref_frames`` frames set to the previous window's outputs
+    re-noised, ``latent_ref`` holds the clean previous outputs in those
+    slots, and for the first ``noise_correct_step`` fraction of steps the
+    implied-noise delta of the ref frames is injected into all frames —
+    mean-delta without flow, flow-warped per-pixel with ``flows``
+    (per-query-frame, per-ref-frame displacement fields at latent
+    resolution, shape (F, R, h, w, 2)) and ``flow_masks`` (their warped
+    validity, (F, R, h, w, 1), precomputed since they are step-invariant).
+    """
+    num_steps = tables.num_steps
+    f = latent.shape[1]
+    correct_until = int(noise_correct_step * num_steps)
+    ref_mask = _frame_mask(f, num_ref_frames)[None, :, None, None, None]
+
+    def step(carry, i):
+        lat, key = carry
+        key, nkey = jax.random.split(key)
+        t = tables.timesteps[i]
+        eps = dual_cfg_eps(
+            unet_apply, params, lat, img_cond, t, text_uncond, text_cond,
+            text_cfg, img_cfg, video_start_index, guidance_rescale,
+        )
+
+        if latent_ref is not None and correct_until > 0:
+            a_t = tables.alpha_prod[i]
+            noise_ref = (lat - jnp.sqrt(a_t) * latent_ref) * jax.lax.rsqrt(1.0 - a_t)
+            delta_ref = (noise_ref - eps) * ref_mask  # zero on non-ref frames
+            if flows is None:
+                # mean-delta propagation (inference.py:270-277)
+                n_ref = jnp.maximum(jnp.sum(ref_mask), 1.0)
+                delta_mean = jnp.sum(delta_ref, axis=1, keepdims=True) / n_ref
+                correction = ref_mask * delta_ref + (1.0 - ref_mask) * delta_mean
+            else:
+                # flow-warped propagation (inference.py:367-386), batch 1
+                r = flows.shape[1]
+                d0 = delta_ref[0, :r]  # (R, h, w, C) ref-frame deltas
+                warped = jax.vmap(  # over query frames
+                    lambda fl: warp_image(d0, fl)
+                )(flows)  # (F, R, h, w, C)
+                mask_sum = jnp.sum(flow_masks, axis=1)  # (F, h, w, 1)
+                warped_sum = jnp.sum(warped * flow_masks, axis=1)
+                prop = jnp.where(mask_sum > 0.5, warped_sum / jnp.maximum(mask_sum, 1e-6), 0.0)
+                correction = ref_mask * delta_ref + (1.0 - ref_mask) * prop[None]
+            use = (i < correct_until).astype(jnp.float32)
+            eps = eps + use * correction
+
+        noise = jax.random.normal(nkey, lat.shape, dtype=jnp.float32)
+        lat_next, x0 = sampler_step(tables, lat, eps, i, noise)
+        return (lat_next, key), x0
+
+    (final, _), all_x0 = jax.lax.scan(
+        step, (latent.astype(jnp.float32), rng), jnp.arange(num_steps)
+    )
+    return {"latent": final, "pred_x0": all_x0[-1]}
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowSpec:
+    """One sliding window over the frame axis."""
+
+    start: int  # absolute index of the window's first frame (incl. refs)
+    num_frames: int  # total frames in the window
+    num_ref: int  # leading frames that are refs from the previous window
+
+
+def split_windows(
+    total_frames: int, frames_per_window: int = 16, num_ref_frames: int = 4
+) -> List[WindowSpec]:
+    """The reference ``split_batch`` decomposition
+    (insv2v_run_loveu_tgve.py:12-29): first window is full; later windows
+    re-use the trailing frames of the previous one as refs; a short final
+    remainder gets extra ref frames so every window has the same length
+    (a jit-once shape) except possibly a short first window.
+    """
+    if total_frames <= frames_per_window:
+        return [WindowSpec(0, total_frames, 0)]
+    windows = [WindowSpec(0, frames_per_window, 0)]
+    ptr = frames_per_window
+    while ptr < total_frames:
+        remaining = total_frames - ptr
+        n_new = (
+            remaining
+            if remaining < frames_per_window
+            else frames_per_window - num_ref_frames
+        )
+        n_ref = frames_per_window - n_new
+        windows.append(WindowSpec(ptr - n_ref, frames_per_window, n_ref))
+        ptr += n_new
+    return windows
