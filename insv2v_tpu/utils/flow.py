@@ -1,0 +1,81 @@
+"""Host-side optical flow estimation for motion-compensated stitching.
+
+The reference uses torchvision RAFT on CUDA (misc_utils/flow_utils.py:134-189)
+purely as a per-window preprocessing step — flow is computed once per
+window pair, off the denoising hot loop.  TPU-native plan (SURVEY.md §2.3):
+keep estimation host-side (OpenCV Farneback by default, RAFT when its
+weights are available), and do all per-step *warping* on device in XLA
+(ops/resize.py:warp_image).
+
+Estimators return flow in pixels, channels-last (H, W, 2) = (u, v),
+mapping query -> ref (backward warp convention of flow_utils.warp_image).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["FarnebackFlow", "ZeroFlow", "get_flow_estimator", "window_flows"]
+
+
+class FarnebackFlow:
+    """cv2.calcOpticalFlowFarneback on grayscale frames — fully offline."""
+
+    def __init__(self, levels: int = 3, winsize: int = 21, iterations: int = 3):
+        self.levels = levels
+        self.winsize = winsize
+        self.iterations = iterations
+
+    def __call__(self, query: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        """query/ref: (H, W, 3) in [-1, 1] -> flow (H, W, 2)."""
+        import cv2
+
+        to_gray = lambda im: cv2.cvtColor(
+            ((np.clip(im, -1, 1) + 1) * 127.5).astype(np.uint8), cv2.COLOR_RGB2GRAY
+        )
+        return cv2.calcOpticalFlowFarneback(
+            to_gray(query), to_gray(ref), None,
+            pyr_scale=0.5, levels=self.levels, winsize=self.winsize,
+            iterations=self.iterations, poly_n=5, poly_sigma=1.1, flags=0,
+        )
+
+
+class ZeroFlow:
+    """Degenerate estimator: zero displacement (equivalent to the
+    mean-delta propagation when scenes are static)."""
+
+    def __call__(self, query: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        return np.zeros(query.shape[:2] + (2,), dtype=np.float32)
+
+
+def get_flow_estimator(kind: str = "farneback"):
+    if kind == "farneback":
+        return FarnebackFlow()
+    if kind == "zero":
+        return ZeroFlow()
+    raise ValueError(f"unknown flow estimator {kind!r}")
+
+
+def window_flows(
+    estimator,
+    frames: np.ndarray,
+    num_ref: int,
+    latent_hw: tuple,
+) -> np.ndarray:
+    """Per-window flow stack for the sampler: frames (F, H, W, 3) where the
+    first ``num_ref`` are refs; returns (F, R, h, w, 2) at latent
+    resolution (rows < num_ref are zero — those frames use their direct
+    delta, cf. inference.py:374)."""
+    from insv2v_tpu.ops.resize import resize_flow
+    import jax.numpy as jnp
+
+    f = frames.shape[0]
+    h, w = latent_hw
+    flows = np.zeros((f, num_ref, h, w, 2), dtype=np.float32)
+    for q in range(num_ref, f):
+        for r in range(num_ref):
+            fl = estimator(frames[q], frames[r])[None]  # (1, H, W, 2)
+            flows[q, r] = np.asarray(resize_flow(jnp.asarray(fl), h, w))[0]
+    return flows
