@@ -1,0 +1,111 @@
+"""Trainer: masked motion-only updates, grad accumulation, dp-mesh sharding
+on the 8-device CPU mesh, ZeRO opt-state sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insv2v_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+from insv2v_tpu.models.unet3d import UNet3DConditionModel, UNetConfig
+from insv2v_tpu.models.vae import AutoencoderKL, VaeConfig
+from insv2v_tpu.parallel.mesh import make_mesh, shard_leaf_spec
+from insv2v_tpu.training.trainer import (
+    TrainConfig,
+    Trainer,
+    motion_param_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    unet = UNet3DConditionModel(cfg=UNetConfig.tiny(in_channels=8, out_channels=4))
+    vae = AutoencoderKL(cfg=VaeConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                                      z_channels=4, embed_dim=4, resolution=16))
+    clip = ClipTextEncoder(ClipTextConfig(vocab_size=50, hidden_size=12,
+                                          num_layers=1, num_heads=2,
+                                          intermediate_size=24))
+    k = jax.random.PRNGKey(0)
+    unet_p = unet.init(k, jnp.zeros((1, 2, 8, 8, 8)), jnp.zeros((1,), jnp.int32),
+                       jnp.zeros((1, 77, 12)))["params"]
+    vae_p = vae.init(k, jnp.zeros((1, 16, 16, 3)), sample_posterior=False)["params"]
+    clip_p = clip.init(k, jnp.zeros((1, 77), jnp.int32))["params"]
+    cfg = TrainConfig(lr=1e-3, accumulate_grad_batches=2)
+    trainer = Trainer(unet, vae, clip, cfg, mesh=make_mesh())
+
+    # fresh state per test: the jitted step donates its input state buffers,
+    # and device_put aliases already-placed arrays, so deep-copy first
+    def make_state():
+        copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), t)
+        return trainer.place_state(
+            trainer.create_state(copy(unet_p), copy(vae_p), copy(clip_p)))
+
+    return trainer, make_state
+
+
+def batch(n=16, f=2):
+    rs = np.random.RandomState(0)
+    return {
+        "input_video": jnp.asarray(rs.randn(n, f, 16, 16, 3).astype(np.float32) * 0.1),
+        "edited_video": jnp.asarray(rs.randn(n, f, 16, 16, 3).astype(np.float32) * 0.1),
+        "prompt_ids": jnp.asarray(rs.randint(0, 50, (n, 77)).astype(np.int32)),
+    }
+
+
+def test_motion_mask_selects_only_motion_params(setup):
+    trainer, make_state = setup
+    state = make_state()
+    mask = motion_param_mask(state.params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, trainable in flat:
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        assert trainable == ("motion_modules_" in p), p
+
+
+def test_train_step_updates_only_motion_params(setup):
+    trainer, make_state = setup
+    state = make_state()
+    step = trainer.jitted_step(state)
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    new_state, metrics = step(state, batch(), jax.random.PRNGKey(1))
+    loss = float(metrics["train_loss"])
+    assert np.isfinite(loss) and loss > 0
+    mask = motion_param_mask(before)
+    after = jax.tree_util.tree_map(np.asarray, new_state.params)
+
+    changed = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()) > 0, before, after)
+    flags = jax.tree_util.tree_leaves(changed)
+    trainables = jax.tree_util.tree_leaves(mask)
+    n_trainable_changed = sum(1 for c, t in zip(flags, trainables) if t and c)
+    n_frozen_changed = sum(1 for c, t in zip(flags, trainables) if (not t) and c)
+    assert n_frozen_changed == 0
+    assert n_trainable_changed > 0
+    assert int(new_state.step) == 1
+    # second step runs from donated state
+    s2, m2 = step(new_state, batch(), jax.random.PRNGKey(2))
+    assert int(s2.step) == 2
+
+
+def test_zero_sharding_spec_shards_divisible_leading_axes(setup):
+    trainer, _ = setup
+    mesh = trainer.mesh
+    leaf8 = jnp.zeros((8, 4))
+    leaf7 = jnp.zeros((7, 4))
+    scalar = jnp.zeros(())
+    assert shard_leaf_spec(leaf8, mesh)[0] == "dp"
+    assert shard_leaf_spec(leaf7, mesh) == jax.sharding.PartitionSpec()
+    assert shard_leaf_spec(scalar, mesh) == jax.sharding.PartitionSpec()
+
+
+def test_loss_decreases_over_steps(setup):
+    trainer, make_state = setup
+    state = make_state()
+    step = trainer.jitted_step(state)
+    b = batch()
+    losses = []
+    s = state
+    for i in range(8):
+        s, m = step(s, b, jax.random.PRNGKey(42))  # fixed data + rng
+        losses.append(float(m["train_loss"]))
+    assert losses[-1] < losses[0]
