@@ -1,0 +1,132 @@
+"""Benchmark: edited frames/sec/chip on the reference's headline workload.
+
+Measures the full editing hot path — 32 frames at 256x384, 50-step DDIM,
+dual-CFG (3x batch fused), 16-frame sliding windows with 4 ref frames and
+noise anchoring — on whatever accelerator jax exposes, with random
+weights (throughput is weight-independent).
+
+Prints ONE json line:
+  {"metric": "edited_frames_per_sec_per_chip", "value": N,
+   "unit": "frames/s/chip", "vs_baseline": N}
+
+``vs_baseline`` divides by an estimated A100 reference throughput for the
+same workload (BASELINE.md: the reference publishes no numbers, so the
+baseline is reconstructed): torch fp16 + xformers InsV2V at 256x384 runs
+~20 denoise steps over 3 windows in ~25 s => scaled to 50 steps ~ 0.55
+edited frames/s on one A100. North star (BASELINE.json): >= 5x => 2.75.
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_EST_FPS = 0.55  # see module docstring
+
+NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
+HEIGHT = int(os.environ.get("BENCH_H", "256"))
+WIDTH = int(os.environ.get("BENCH_W", "384"))
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))
+WINDOW = 16
+NUM_REF = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from insv2v_tpu.diffusion.samplers import sample_video_window, split_windows
+    from insv2v_tpu.diffusion.schedules import DiffusionSchedule, make_sampler_tables
+    from insv2v_tpu.models.unet3d import UNet3DConditionModel, UNetConfig
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr)
+
+    cfg = UNetConfig()
+    model = UNet3DConditionModel(cfg=cfg, dtype=jnp.bfloat16)
+    h, w = HEIGHT // 8, WIDTH // 8
+    rng = jax.random.PRNGKey(0)
+
+    sample0 = jnp.zeros((3, WINDOW, h, w, cfg.in_channels), jnp.bfloat16)
+    ctx0 = jnp.zeros((3, 77, cfg.cross_attention_dim), jnp.bfloat16)
+    t0 = jnp.zeros((3,), jnp.int32)
+    # throughput is weight-independent (MXU time is data-independent):
+    # materialize cheap constant params instead of a 0.86B random init
+    t_init = time.perf_counter()
+    shapes = jax.eval_shape(lambda k: model.init(k, sample0, t0, ctx0), rng)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes)["params"]
+    print(f"# params materialized in {time.perf_counter()-t_init:.1f}s",
+          file=sys.stderr)
+
+    sched = DiffusionSchedule.create()
+    tables = make_sampler_tables(sched, STEPS, kind="ddim")
+
+    def unet_apply(p, s, t, c, vsi):
+        return model.apply({"params": p}, s, t, c, video_start_index=vsi)
+
+    @jax.jit
+    def first_window(p, latent, cond, tc, tu, key):
+        return sample_video_window(
+            unet_apply, p, tables, latent, cond, tc, tu, key,
+            text_cfg=7.5, img_cfg=1.2)["latent"]
+
+    @jax.jit
+    def next_window(p, latent, cond, tc, tu, key, latent_ref, num_ref, vsi):
+        return sample_video_window(
+            unet_apply, p, tables, latent, cond, tc, tu, key,
+            text_cfg=7.5, img_cfg=1.2, video_start_index=vsi,
+            latent_ref=latent_ref, num_ref_frames=num_ref,
+            noise_correct_step=0.5)["latent"]
+
+    tc = jax.random.normal(rng, (1, 77, cfg.cross_attention_dim), jnp.bfloat16)
+    tu = jnp.zeros_like(tc)
+    windows = split_windows(NUM_FRAMES, WINDOW, NUM_REF)
+
+    def run_chain(seed):
+        key = jax.random.PRNGKey(seed)
+        cond_all = jax.random.normal(key, (1, NUM_FRAMES, h, w, 4), jnp.float32)
+        k1, key = jax.random.split(key)
+        init = jax.random.normal(k1, (1, windows[0].num_frames, h, w, 4))
+        lat = first_window(params, init, cond_all[:, :windows[0].num_frames],
+                           tc, tu, k1)
+        prev_init = init
+        for spec in windows[1:]:
+            kn, key = jax.random.split(key)
+            n_new = spec.num_frames - spec.num_ref
+            init = jnp.concatenate(
+                [prev_init[:, -spec.num_ref:],
+                 jax.random.normal(kn, (1, n_new, h, w, 4))], axis=1)
+            ref = jnp.concatenate(
+                [lat[:, -spec.num_ref:], jnp.zeros((1, n_new, h, w, 4))], axis=1)
+            lat = next_window(
+                params, init, cond_all[:, spec.start: spec.start + spec.num_frames],
+                tc, tu, kn, ref, jnp.int32(spec.num_ref), jnp.int32(spec.start))
+            prev_init = init
+        return lat
+
+    # warmup/compile
+    t_c = time.perf_counter()
+    run_chain(0).block_until_ready()
+    print(f"# compile+warmup: {time.perf_counter()-t_c:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(int(os.environ.get("BENCH_REPS", "3"))):
+        t_start = time.perf_counter()
+        run_chain(i + 1).block_until_ready()
+        times.append(time.perf_counter() - t_start)
+    best = min(times)
+    fps = NUM_FRAMES / best
+    print(f"# denoise-chain times: {[f'{t:.2f}' for t in times]} s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "edited_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / A100_EST_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
