@@ -170,6 +170,57 @@ def convert_clip_text_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return tree.get("text_model", tree)
 
 
+# --- full CLIPModel (vision + text + projections) --------------------------
+
+_CLIP_VISION_RULES: List[Tuple[str, str]] = [
+    (r"^vision_model\.", ""),
+    (r"\bembeddings\.patch_embedding", "patch_embedding"),
+    (r"\bembeddings\.position_embedding", "position_embedding"),
+    (r"\bencoder\.layers\.(\d+)", r"layers_\1"),
+]
+
+
+def convert_clip_model_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF ``CLIPModel`` state dict -> params for ClipSimilarity:
+    {'vision', 'visual_projection', 'text', 'text_projection'}."""
+    sd = strip_prefixes(sd)
+    text_sd = {k: v for k, v in sd.items() if k.startswith("text_model.")}
+    out: Dict[str, Any] = {"text": convert_clip_text_state_dict(text_sd)}
+
+    vis_flat: Dict[str, Array] = {}
+    for k, v in sd.items():
+        if not k.startswith("vision_model."):
+            continue
+        if k.endswith("position_ids"):
+            continue
+        v = _to_numpy(v)
+        if k.endswith("embeddings.class_embedding"):
+            vis_flat["class_embedding"] = v
+            continue
+        mod_path, leaf = k.rsplit(".", 1)
+        new_mod = _apply_rules(mod_path, _CLIP_VISION_RULES)
+        if new_mod.endswith("position_embedding"):
+            leaf_name, val = "embedding", v
+        else:
+            leaf_name, val = _convert_value(leaf, v, _is_norm_param(k))
+        vis_flat[new_mod.replace(".", "/") + "/" + leaf_name] = val
+    out["vision"] = nest(vis_flat)
+
+    if "visual_projection.weight" in sd:
+        out["visual_projection"] = {
+            "visual_projection": {
+                "kernel": np.transpose(_to_numpy(sd["visual_projection.weight"]))
+            }
+        }
+    if "text_projection.weight" in sd:
+        out["text_projection"] = {
+            "text_projection": {
+                "kernel": np.transpose(_to_numpy(sd["text_projection.weight"]))
+            }
+        }
+    return out
+
+
 # --- UNet3D (modules/video_unet_temporal/*) -------------------------------
 
 _UNET_RULES: List[Tuple[str, str]] = [
