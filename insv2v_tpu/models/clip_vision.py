@@ -114,12 +114,12 @@ class ClipTextProjection(nn.Module):
                         name="text_projection")(pooled)
 
 
-def preprocess_frames(frames: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W, 3) in [-1, 1] -> CLIP-normalized (N, 224, 224, 3)."""
+def preprocess_frames(frames: jnp.ndarray, size: int = CLIP_IMAGE_SIZE) -> jnp.ndarray:
+    """(N, H, W, 3) in [-1, 1] -> CLIP-normalized (N, size, size, 3)."""
     from insv2v_tpu.ops.resize import bilinear_resize
 
     x = (frames.astype(jnp.float32) + 1.0) / 2.0
-    x = bilinear_resize(x, CLIP_IMAGE_SIZE, CLIP_IMAGE_SIZE)
+    x = bilinear_resize(x, size, size)
     mean = jnp.asarray(CLIP_MEAN)
     std = jnp.asarray(CLIP_STD)
     return (x - mean) / std

@@ -65,7 +65,8 @@ class ClipSimilarity:
         @jax.jit
         def embed_image(p, frames):
             pooled = self.vision_model.apply(
-                {"params": p["vision"]}, preprocess_frames(frames))
+                {"params": p["vision"]},
+                preprocess_frames(frames, vision_cfg.image_size))
             return self.vis_proj.apply({"params": p["visual_projection"]}, pooled)
 
         @jax.jit
