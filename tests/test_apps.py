@@ -1,0 +1,143 @@
+"""App-level smoke tests: config->factory->CLI wiring on tiny configs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY_YAML = """
+expt_dir: {tmp}/experiments
+expt_name: tiny
+trainer:
+  max_steps: 2
+  accumulate_grad_batches: 2
+  micro_batch_size: 1
+  lr: 1.0e-3
+  loss_fn: l2
+  cond_image_dropout: 0.1
+  prompt_type: edit_prompt
+  scale_factor: 0.18215
+  checkpoint_every: 2
+diffusion:
+  beta_schedule: scaled_linear
+  num_train_timesteps: 1000
+  beta_start: 0.00085
+  beta_end: 0.012
+unet:
+  target: modules.video_unet_temporal.unet.UNet3DConditionModel
+  params:
+    in_channels: 8
+    out_channels: 4
+    attention_head_dim: 2
+    block_out_channels: [8, 16, 16, 16]
+    cross_attention_dim: 768
+    norm_num_groups: 4
+    motion_module_kwargs:
+      num_attention_heads: 2
+      temporal_position_encoding_max_len: 8
+vae:
+  target: modules.kl_autoencoder.autoencoder.AutoencoderKL
+  params:
+    embed_dim: 4
+    ddconfig:
+      z_channels: 4
+      ch: 8
+      ch_mult: [1, 2]
+      num_res_blocks: 1
+      resolution: 32
+data:
+  train:
+    target: dataset.videoP2P.VideoPromptToPrompt
+    params:
+      root_dirs: [{tmp}/ptp]
+      num_frames: 2
+  val:
+    target: dataset.videoP2P.VideoPromptToPrompt
+    params:
+      root_dirs: [{tmp}/ptp]
+      num_frames: 2
+text_model:
+  target: modules.openclip.modules.FrozenCLIPEmbedder
+  params:
+    freeze: true
+"""
+
+
+def write_tiny_config(tmp_path):
+    cfg = str(tmp_path / "tiny.yaml")
+    with open(cfg, "w") as f:
+        f.write(TINY_YAML.format(tmp=tmp_path))
+    return cfg
+
+
+def make_ptp_data(tmp_path, n_samples=2):
+    import cv2
+
+    root = tmp_path / "ptp"
+    rs = np.random.RandomState(0)
+    for s in range(n_samples):
+        d = root / f"sample_{s:03d}"
+        (d / "image").mkdir(parents=True)
+        for which in (0, 1):
+            for i in range(16):
+                cv2.imwrite(str(d / "image" / f"1_{which}_{i:04d}.jpg"),
+                            (rs.rand(16, 16, 3) * 255).astype(np.uint8))
+        with open(d / "metadata.jsonl", "w") as f:
+            f.write(json.dumps({"seed": 1, "sim_0": 0.5, "sim_1": 0.5,
+                                "sim_dir": 0.5, "sim_image": 0.9}) + "\n")
+        with open(d / "prompt.json", "w") as f:
+            json.dump({"input": "a", "output": "b", "edit": "c"}, f)
+    return str(root)
+
+
+def test_factory_builds_reference_config():
+    from insv2v_tpu.utils.config import load_config
+    from insv2v_tpu.utils.factory import get_models
+
+    cfg = load_config("configs/instruct_v2v.yaml")
+    models = get_models(cfg)
+    assert models["unet"].cfg.block_out_channels == (320, 640, 1280, 1280)
+    assert models["unet"].cfg.motion_max_seq_length == 32
+    assert models["vae"].cfg.ch_mult == (1, 2, 4, 4)
+    assert models["text_model"].cfg.hidden_size == 768
+
+
+def test_config_interpolation(tmp_path):
+    from insv2v_tpu.utils.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text("a: x\nb: ${a}/y\nnested:\n  c: ${b}/z\n")
+    cfg = load_config(str(p))
+    assert cfg["b"] == "x/y"
+    assert cfg["nested"]["c"] == "x/y/z"
+
+
+@pytest.mark.slow
+def test_train_cli_smoke(tmp_path, monkeypatch):
+    cfg = write_tiny_config(tmp_path)
+    make_ptp_data(tmp_path)
+    from insv2v_tpu.apps import train
+
+    # tiny text model instead of full CLIP (the factory builds ViT-L)
+    from insv2v_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+    from insv2v_tpu.utils import factory
+
+    monkeypatch.setattr(
+        factory, "build_text_model",
+        lambda **kw: ClipTextEncoder(ClipTextConfig(
+            vocab_size=49408, hidden_size=768, num_layers=1, num_heads=4,
+            intermediate_size=32)),
+    )
+    from insv2v_tpu.utils.registry import _REGISTRY
+
+    monkeypatch.setitem(_REGISTRY, "modules.openclip.modules.FrozenCLIPEmbedder",
+                        factory.build_text_model)
+
+    train.main(["--config", cfg, "--allow-random-weights", "--max-steps", "2"])
+    expt = tmp_path / "experiments" / "tiny"
+    assert (expt / "metrics.jsonl").exists()
+    lines = [json.loads(l) for l in open(expt / "metrics.jsonl")]
+    assert lines[-1]["step"] == 2
+    ckpts = [d for d in os.listdir(expt) if d.startswith("step_")]
+    assert ckpts, os.listdir(expt)
