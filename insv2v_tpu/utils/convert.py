@@ -83,7 +83,7 @@ def _convert_value(name: str, v: Array, is_norm: bool) -> Tuple[str, Array]:
     return name, v
 
 
-_NORM_HINTS = ("norm", "layer_norm", "ff_norm", "final_layer_norm")
+_NORM_HINTS = ("norm", "layer_norm", "ff_norm", "final_layer_norm", "ln_")
 
 
 def _is_norm_param(torch_key: str) -> bool:
@@ -168,6 +168,50 @@ def convert_clip_text_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
         flat[new_mod.replace(".", "/") + "/" + leaf_name] = val
     tree = nest(flat)
     return tree.get("text_model", tree)
+
+
+# --- OpenCLIP text tower (modules/openclip/modules.py:138-197) ------------
+
+
+def convert_openclip_text_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """open_clip text-tower state dict -> OpenClipTextEncoder params.
+
+    Handles the ``model.``/``transformer.`` prefixes and splits packed
+    ``attn.in_proj_weight/bias`` into q/k/v projections.
+    """
+    sd = strip_prefixes(sd, prefixes=("_forward_module.", "model."))
+    flat: Dict[str, Array] = {}
+    for k, v in sd.items():
+        if not any(t in k for t in
+                   ("token_embedding", "positional_embedding",
+                    "resblocks", "ln_final")):
+            continue
+        v = _to_numpy(v)
+        k = re.sub(r"^transformer\.", "", k)
+        k = re.sub(r"\bresblocks\.(\d+)", r"resblocks_\1", k)
+        if k == "positional_embedding":
+            flat[k] = v
+            continue
+        if k.endswith("token_embedding.weight"):
+            flat["token_embedding/embedding"] = v
+            continue
+        if "attn.in_proj_weight" in k:
+            base = k.rsplit(".", 2)[0].replace(".", "/")
+            for name, part in zip(("q_proj", "k_proj", "v_proj"),
+                                  np.split(v, 3, axis=0)):
+                flat[f"{base}/attn/{name}/kernel"] = np.transpose(part)
+            continue
+        if "attn.in_proj_bias" in k:
+            base = k.rsplit(".", 2)[0].replace(".", "/")
+            for name, part in zip(("q_proj", "k_proj", "v_proj"),
+                                  np.split(v, 3, axis=0)):
+                flat[f"{base}/attn/{name}/bias"] = part
+            continue
+        mod_path, leaf = k.rsplit(".", 1)
+        mod_path = mod_path.replace("mlp.", "")
+        leaf, v = _convert_value(leaf, v, _is_norm_param(k))
+        flat[mod_path.replace(".", "/") + "/" + leaf] = v
+    return nest(flat)
 
 
 # --- full CLIPModel (vision + text + projections) --------------------------
