@@ -440,7 +440,10 @@ class UpBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, skips, temb, context, video_start_index):
+        """skips: tuple of (layers_per_block + 1) residuals, consumed from
+        the end (the down path's reversed order)."""
         cfg = self.cfg
+        skips = list(skips)
         for i in range(cfg.layers_per_block + 1):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlock3D(self.out_channels, cfg.norm_num_groups, cfg.norm_eps,
@@ -484,9 +487,9 @@ class UNet3DConditionModel(nn.Module):
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(sample)
 
-        down_cls = nn.remat(DownBlock3D, static_argnums=()) if cfg.remat else DownBlock3D
+        down_cls = nn.remat(DownBlock3D) if cfg.remat else DownBlock3D
         mid_cls = nn.remat(MidBlock3D) if cfg.remat else MidBlock3D
-        up_cls = UpBlock3D  # skip-list popping precludes naive remat here
+        up_cls = nn.remat(UpBlock3D) if cfg.remat else UpBlock3D
 
         skips = [x]
         out_ch = cfg.block_out_channels[0]
@@ -507,19 +510,20 @@ class UNet3DConditionModel(nn.Module):
             x, temb, encoder_hidden_states, video_start_index)
 
         rev_channels = list(reversed(cfg.block_out_channels))
-        prev_ch = rev_channels[0]
+        n_res = cfg.layers_per_block + 1
         for i, block_type in enumerate(cfg.up_block_types):
             res = 2 ** (len(cfg.up_block_types) - 1 - i)
             out_ch = rev_channels[i]
             is_final = i == len(cfg.up_block_types) - 1
+            block_skips = tuple(skips[-n_res:])
+            del skips[-n_res:]
             x = up_cls(
                 cfg, out_ch,
                 has_cross_attention=(block_type == "CrossAttnUpBlock3D"),
                 use_motion=cfg.use_motion_module and res in cfg.motion_module_resolutions,
                 add_upsample=not is_final,
                 dtype=self.dtype, name=f"up_blocks_{i}",
-            )(x, skips, temb, encoder_hidden_states, video_start_index)
-            prev_ch = out_ch
+            )(x, block_skips, temb, encoder_hidden_states, video_start_index)
 
         x = GroupNorm(cfg.norm_num_groups, eps=cfg.norm_eps, name="conv_norm_out")(x)
         x = jax.nn.silu(x)
