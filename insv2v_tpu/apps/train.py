@@ -158,16 +158,38 @@ def main(argv=None):
     logger = JsonlLogger(os.path.join(expt_dir, "metrics.jsonl"))
     max_steps = args.max_steps or int(tr.get("max_steps", 1000))
     ckpt_every = int(tr.get("checkpoint_every", 1000))
+    val_every = int(tr.get("val_every", 0))
     rng = jax.random.PRNGKey(args.seed)
+
+    validate = None
+    if val_every:
+        from insv2v_tpu.training.validation import (
+            make_validation_fn,
+            save_preview_grid,
+        )
+
+        validate = make_validation_fn(
+            trainer, num_steps=int(cfg.get("diffusion", {}).get(
+                "ddim_sampling_steps", 20)),
+            text_cfg=float(tr.get("text_cfg", 7.5)),
+            img_cfg=float(tr.get("img_cfg", 1.2)))
 
     while int(state.step) < max_steps:
         t0 = time.perf_counter()
-        state, metrics = step_fn(state, next(it), rng)
+        batch = next(it)
+        state, metrics = step_fn(state, batch, rng)
         loss = float(metrics["train_loss"])
         step = int(state.step)
         dt = time.perf_counter() - t0
         logger.log({"step": step, "train_loss": loss, "step_time_s": dt})
         print(f"step {step}: loss={loss:.4f} ({dt:.1f}s)")
+        if validate is not None and step % val_every == 0:
+            n = tcfg.accumulate_grad_batches  # one microbatch worth
+            vb = {k: v[: max(1, v.shape[0] // n)] for k, v in batch.items()}
+            out = validate(state, vb, jax.random.fold_in(rng, step))
+            path = save_preview_grid(vb, np.asarray(out["pred"]),
+                                     os.path.join(expt_dir, "previews"), step)
+            logger.log({"step": step, "preview": path})
         if step % ckpt_every == 0 or step >= max_steps:
             path = save_train_state(state, expt_dir)
             print(f"checkpointed {path}")

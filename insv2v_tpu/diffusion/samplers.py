@@ -34,6 +34,7 @@ __all__ = [
     "rescale_noise_cfg",
     "dual_cfg_eps",
     "sample_video_window",
+    "sample_edit_ref_image",
     "split_windows",
     "WindowSpec",
 ]
@@ -169,6 +170,55 @@ def sample_video_window(
     (final, _), all_x0 = jax.lax.scan(
         step, (latent.astype(jnp.float32), rng), jnp.arange(num_steps)
     )
+    return {"latent": final, "pred_x0": all_x0[-1]}
+
+
+def sample_edit_ref_image(
+    unet_apply: UnetApply,
+    params: Any,
+    tables: SamplerTables,
+    latent: jnp.ndarray,
+    img_cond: jnp.ndarray,
+    edit_cond: jnp.ndarray,
+    text_cond: jnp.ndarray,
+    text_uncond: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    text_cfg: float = 7.5,
+    img_cfg: float = 1.2,
+    edit_cfg: float = 1.2,
+) -> dict:
+    """Triple-lever CFG image editing with a reference edit
+    (InferenceIP2PEditRef, inference.py:101-157): 4-way batch over the
+    (text, edit, img) truth table, combined as
+    e1 + img*(e2-e1) + edit*(e3-e2) + text*(e4-e3).
+
+    latent/img_cond/edit_cond: (B, H, W, C) image latents (channels-last);
+    the UNet input is the channel concat [latent | img | edit].
+    """
+    zeros = jnp.zeros_like(img_cond)
+
+    def step(carry, i):
+        lat, key = carry
+        key, nkey = jax.random.split(key)
+        t = tables.timesteps[i]
+        l1 = jnp.concatenate([lat, zeros, zeros], axis=-1)
+        l2 = jnp.concatenate([lat, img_cond, zeros], axis=-1)
+        l3 = jnp.concatenate([lat, img_cond, edit_cond], axis=-1)
+        x4 = jnp.concatenate([l1, l2, l3, l3], axis=0)
+        ctx = jnp.concatenate(
+            [text_uncond, text_uncond, text_uncond, text_cond], axis=0)
+        t_b = jnp.broadcast_to(t, (x4.shape[0],))
+        e1, e2, e3, e4 = jnp.split(
+            unet_apply(params, x4, t_b, ctx, 0).astype(jnp.float32), 4, axis=0)
+        eps = (e1 + img_cfg * (e2 - e1) + edit_cfg * (e3 - e2)
+               + text_cfg * (e4 - e3))
+        noise = jax.random.normal(nkey, lat.shape, dtype=jnp.float32)
+        lat, x0 = sampler_step(tables, lat, eps, i, noise)
+        return (lat, key), x0
+
+    (final, _), all_x0 = jax.lax.scan(
+        step, (latent.astype(jnp.float32), rng), jnp.arange(tables.num_steps))
     return {"latent": final, "pred_x0": all_x0[-1]}
 
 

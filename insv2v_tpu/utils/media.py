@@ -115,3 +115,45 @@ def read_video_frames(
 def concat_videos(videos: Sequence[np.ndarray], axis: int = 2) -> np.ndarray:
     """Side-by-side (axis=2 width) concat of equal-length videos."""
     return np.concatenate(list(videos), axis=axis)
+
+
+def canny_edges(frames: np.ndarray, low: int = 100, high: int = 200) -> np.ndarray:
+    """Batch canny edge maps (image_utils.py canny batch helper):
+    (F, H, W, 3) in [-1,1] -> (F, H, W, 1) in [-1, 1]."""
+    import cv2
+
+    outs = []
+    for fr in to_uint8(frames):
+        gray = cv2.cvtColor(fr, cv2.COLOR_RGB2GRAY)
+        outs.append(cv2.Canny(gray, low, high))
+    edges = np.stack(outs)[..., None]
+    return from_uint8(edges)
+
+
+def match_histogram(source: np.ndarray, reference: np.ndarray) -> np.ndarray:
+    """Per-channel histogram matching of ``source`` to ``reference``
+    (image_utils.py histogram matching): both (H, W, 3) in [-1, 1]."""
+    src = to_uint8(source)
+    ref = to_uint8(reference)
+    out = np.empty_like(src)
+    for c in range(src.shape[-1]):
+        s_vals, s_idx, s_counts = np.unique(
+            src[..., c].ravel(), return_inverse=True, return_counts=True)
+        r_vals, r_counts = np.unique(ref[..., c].ravel(), return_counts=True)
+        s_q = np.cumsum(s_counts).astype(np.float64)
+        s_q /= s_q[-1]
+        r_q = np.cumsum(r_counts).astype(np.float64)
+        r_q /= r_q[-1]
+        interp = np.interp(s_q, r_q, r_vals)
+        out[..., c] = interp[s_idx].reshape(src[..., c].shape)
+    return from_uint8(out)
+
+
+def overlay_text(frame: np.ndarray, text: str, scale: float = 0.5) -> np.ndarray:
+    """Burn a caption into a frame (image_utils.py text overlay)."""
+    import cv2
+
+    img = to_uint8(frame).copy()
+    cv2.putText(img, text, (4, img.shape[0] - 8), cv2.FONT_HERSHEY_SIMPLEX,
+                scale, (255, 255, 255), 1, cv2.LINE_AA)
+    return from_uint8(img)

@@ -1,0 +1,106 @@
+"""Validation step, 4-way edit-ref sampler, media extras, gradio gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from insv2v_tpu.diffusion.samplers import sample_edit_ref_image
+from insv2v_tpu.diffusion.schedules import DiffusionSchedule, make_sampler_tables
+from insv2v_tpu.utils.media import canny_edges, match_histogram, overlay_text
+
+
+def test_edit_ref_sampler_combines_three_levers():
+    sched = DiffusionSchedule.create()
+    tables = make_sampler_tables(sched, 3, kind="ddim")
+
+    def probe(params, x, t, ctx, vsi):
+        lat, img, edit = jnp.split(x, 3, axis=-1)
+        return lat + 0.1 * img + 0.2 * edit + jnp.mean(ctx, axis=(1, 2))[
+            :, None, None, None]
+
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 2))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 2))
+    edit = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 2))
+    tc = jnp.ones((1, 3, 5))
+    tu = jnp.zeros((1, 3, 5))
+    out = sample_edit_ref_image(probe, None, tables, lat, img, edit, tc, tu,
+                                jax.random.PRNGKey(3), text_cfg=3.0,
+                                img_cfg=1.5, edit_cfg=2.0)
+    assert out["latent"].shape == lat.shape
+    assert np.isfinite(np.asarray(out["latent"])).all()
+
+
+def test_validation_fn_runs_on_tiny_models():
+    from insv2v_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+    from insv2v_tpu.models.unet3d import UNet3DConditionModel, UNetConfig
+    from insv2v_tpu.models.vae import AutoencoderKL, VaeConfig
+    from insv2v_tpu.training.trainer import TrainConfig, Trainer
+    from insv2v_tpu.training.validation import make_validation_fn, save_preview_grid
+
+    unet = UNet3DConditionModel(cfg=UNetConfig.tiny(in_channels=8, out_channels=4))
+    vae = AutoencoderKL(cfg=VaeConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                                      z_channels=4, embed_dim=4, resolution=16))
+    clip = ClipTextEncoder(ClipTextConfig(vocab_size=49408, hidden_size=12,
+                                          num_layers=1, num_heads=2,
+                                          intermediate_size=24))
+    k = jax.random.PRNGKey(0)
+    trainer = Trainer(unet, vae, clip, TrainConfig())
+    state = trainer.create_state(
+        unet.init(k, jnp.zeros((1, 2, 8, 8, 8)), jnp.zeros((1,), jnp.int32),
+                  jnp.zeros((1, 77, 12)))["params"],
+        vae.init(k, jnp.zeros((1, 16, 16, 3)), sample_posterior=False)["params"],
+        clip.init(k, jnp.zeros((1, 77), jnp.int32))["params"],
+    )
+    validate = make_validation_fn(trainer, num_steps=2)
+    rs = np.random.RandomState(0)
+    batch = {
+        "input_video": jnp.asarray(rs.randn(1, 2, 16, 16, 3).astype(np.float32)),
+        "edited_video": jnp.asarray(rs.randn(1, 2, 16, 16, 3).astype(np.float32)),
+        "prompt_ids": jnp.asarray(rs.randint(0, 49408, (1, 77)).astype(np.int32)),
+    }
+    out = validate(state, batch, jax.random.PRNGKey(1))
+    assert out["pred"].shape == (1, 2, 16, 16, 3)
+    assert np.abs(np.asarray(out["pred"])).max() <= 1.0
+
+
+def test_validation_preview_grid(tmp_path):
+    from insv2v_tpu.training.validation import save_preview_grid
+
+    batch = {
+        "input_video": np.zeros((1, 2, 8, 8, 3), np.float32),
+        "edited_video": np.zeros((1, 2, 8, 8, 3), np.float32),
+    }
+    pred = np.zeros((1, 2, 8, 8, 3), np.float32)
+    path = save_preview_grid(batch, pred, str(tmp_path), step=5)
+    import os
+
+    assert os.path.exists(path)
+
+
+def test_media_extras():
+    rs = np.random.RandomState(0)
+    frames = np.clip(rs.randn(2, 16, 16, 3) * 0.5, -1, 1).astype(np.float32)
+    edges = canny_edges(frames)
+    assert edges.shape == (2, 16, 16, 1)
+    matched = match_histogram(frames[0], frames[1])
+    assert matched.shape == frames[0].shape
+    # matching to itself is identity
+    same = match_histogram(frames[0], frames[0])
+    np.testing.assert_allclose(same, frames[0], atol=1 / 100)
+    txt = overlay_text(frames[0], "hello")
+    assert txt.shape == frames[0].shape
+
+
+def test_gradio_demo_gated(capsys):
+    import pytest
+
+    from insv2v_tpu.apps import gradio_demo
+
+    try:
+        import gradio  # noqa: F401
+
+        pytest.skip("gradio installed; gating path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(SystemExit):
+        gradio_demo.main([])
