@@ -45,6 +45,7 @@ from insv2v_tpu.parallel.mesh import (
 class TrainConfig:
     lr: float = 1e-5
     betas: Tuple[float, float] = (0.9, 0.999)
+    optimizer: str = "adam"  # adam | adam8bit (bnb Adam8bit parity)
     loss_type: str = "l2"  # l1 | l2 (diffusion.py get_loss)
     cond_image_dropout: float = 0.1
     scale_factor: float = SD_SCALE_FACTOR
@@ -80,11 +81,14 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
     mask = motion_param_mask(params, cfg.trainable_pattern)
     labels = jax.tree_util.tree_map(
         lambda m: "train" if m else "freeze", mask)
+    if cfg.optimizer == "adam8bit":
+        from insv2v_tpu.training.quantized_adam import adam8bit
+
+        inner = adam8bit(cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1])
+    else:
+        inner = optax.adam(cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1])
     return optax.multi_transform(
-        {
-            "train": optax.adam(cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1]),
-            "freeze": optax.set_to_zero(),
-        },
+        {"train": inner, "freeze": optax.set_to_zero()},
         labels,
     )
 
