@@ -152,8 +152,12 @@ def main(argv=None):
     micro = int(tr.get("micro_batch_size", 1))
     n_dev = len(jax.devices())
     per_step = tcfg.accumulate_grad_batches * micro * n_dev
-    it = batch_iterator(train_ds, per_step, tr.get("prompt_type", "edit_prompt"),
-                        tokenizer, np.random.RandomState(args.seed))
+    base_it = batch_iterator(train_ds, per_step,
+                             tr.get("prompt_type", "edit_prompt"),
+                             tokenizer, np.random.RandomState(args.seed))
+    from insv2v_tpu.data.native_loader import PrefetchLoader
+
+    it = PrefetchLoader(lambda: next(base_it), depth=2)
 
     logger = JsonlLogger(os.path.join(expt_dir, "metrics.jsonl"))
     max_steps = args.max_steps or int(tr.get("max_steps", 1000))
