@@ -108,13 +108,17 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
-    blk_q: int = 256,
-    blk_k: int = 512,
+    blk_q: Optional[int] = None,
+    blk_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas flash-attention forward. q: (B,H,Sq,D); k,v: (B,H,Sk,D)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if blk_q is None:
+        blk_q = _FLASH_BLK_Q
+    if blk_k is None:
+        blk_k = _FLASH_BLK_K
     b, h, sq, d = q.shape
     sk = k.shape[2]
     dp = _round_up(d, 128)
@@ -165,7 +169,13 @@ _flash_with_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 # Sequences shorter than this don't benefit from tiling — the fused XLA
 # path is faster and avoids padding waste (cross-attn Sk=77, temporal F<=32).
-_FLASH_MIN_SEQ = 512
+# Env knobs allow perf A/B without code edits.
+import os as _os
+
+_FLASH_MIN_SEQ = int(_os.environ.get("INSV2V_FLASH_MIN_SEQ", "512"))
+_FLASH_DISABLED = _os.environ.get("INSV2V_FLASH", "1") == "0"
+_FLASH_BLK_Q = int(_os.environ.get("INSV2V_FLASH_BLKQ", "256"))
+_FLASH_BLK_K = int(_os.environ.get("INSV2V_FLASH_BLKK", "512"))
 
 
 def _on_tpu() -> bool:
@@ -187,7 +197,8 @@ def dot_attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_flash is None:
         use_flash = (
-            _on_tpu()
+            not _FLASH_DISABLED
+            and _on_tpu()
             and q.shape[2] >= _FLASH_MIN_SEQ
             and k.shape[2] >= _FLASH_MIN_SEQ
         )
