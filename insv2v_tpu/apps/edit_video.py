@@ -54,26 +54,29 @@ def make_editor(config_path: str, ckpt: str | None, scheduler: str,
     models = get_models(cfg, dtype=jnp.bfloat16)
     unet, vae, text = models["unet"], models["vae"], models["text_model"]
 
-    params = {}
+    from insv2v_tpu.utils.checkpoint import merge_params
+
+    loaded = {}
     if ckpt:
-        params = load_pipeline_params(fused_ckpt=ckpt)
-    missing = {k for k in ("unet", "vae", "text")} - set(params)
-    if missing:
-        if not allow_random:
-            sys.exit(f"checkpoint missing components {missing}; pass "
-                     f"--allow-random-weights to smoke-test without weights")
-        print(f"WARNING: random-initializing {sorted(missing)}", file=sys.stderr)
-        k = jax.random.PRNGKey(0)
-        if "unet" in missing:
-            params["unet"] = unet.init(
-                k, jnp.zeros((1, 2, 32, 32, unet.cfg.in_channels)),
-                jnp.zeros((1,), jnp.int32),
-                jnp.zeros((1, 77, unet.cfg.cross_attention_dim)))["params"]
-        if "vae" in missing:
-            params["vae"] = vae.init(k, jnp.zeros((1, 64, 64, 3)),
-                                     sample_posterior=False)["params"]
-        if "text" in missing:
-            params["text"] = text.init(k, jnp.zeros((1, 77), jnp.int32))["params"]
+        loaded = load_pipeline_params(fused_ckpt=ckpt)
+    missing = {k for k in ("unet", "vae", "text")} - set(loaded)
+    if missing and not ckpt and not allow_random:
+        sys.exit(f"no checkpoint given; pass --allow-random-weights to "
+                 f"smoke-test without weights")
+    if missing and ckpt:
+        print(f"WARNING: checkpoint lacks {sorted(missing)}; they stay "
+              f"random-init (strict=False semantics)", file=sys.stderr)
+    k = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet.init(
+            k, jnp.zeros((1, 2, 32, 32, unet.cfg.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, unet.cfg.cross_attention_dim)))["params"],
+        "vae": vae.init(k, jnp.zeros((1, 64, 64, 3)),
+                        sample_posterior=False)["params"],
+        "text": text.init(k, jnp.zeros((1, 77), jnp.int32))["params"],
+    }
+    params = merge_params(params, loaded)
 
     return VideoEditor(unet, vae, text, params, scheduler=scheduler,
                        num_steps=steps)

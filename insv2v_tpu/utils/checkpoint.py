@@ -28,9 +28,30 @@ from insv2v_tpu.utils.convert import (
 __all__ = [
     "load_torch_weights",
     "load_pipeline_params",
+    "merge_params",
     "save_train_state",
     "restore_train_state",
 ]
+
+
+def merge_params(base: Dict[str, Any], overrides: Dict[str, Any],
+                 _path: str = "") -> Dict[str, Any]:
+    """Deep-merge converted weights over a fresh init — the ``strict=False``
+    load semantics of the fused insv2v.pth (video_edit.ipynb cell 2): keys
+    present in ``overrides`` replace the init, missing ones keep it.
+    Shape mismatches raise with the offending path."""
+    out = dict(base)
+    for k, v in overrides.items():
+        if k in base and isinstance(base[k], dict) and isinstance(v, dict):
+            out[k] = merge_params(base[k], v, f"{_path}{k}/")
+        else:
+            if k in base and hasattr(base[k], "shape") and hasattr(v, "shape"):
+                if tuple(base[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch at {_path}{k}: "
+                        f"init {tuple(base[k].shape)} vs ckpt {tuple(v.shape)}")
+            out[k] = v
+    return out
 
 
 def load_torch_weights(path: str) -> Dict[str, Any]:
