@@ -266,13 +266,17 @@ class MsResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = jax.nn.silu(GroupNorm(name="in_norm")(x))
+        # NOTE: unlike the video UNet's ResnetBlock3D (5D GN, across
+        # frames), UNetSD runs its ResBlock on (b f) c h w — PER-FRAME
+        # GroupNorm statistics (unet_sd.py:300-301, 345-347)
+        per_frame = (2, 3)
+        h = jax.nn.silu(GroupNorm(name="in_norm")(x, reduce_axes=per_frame))
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="in_conv")(h)
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
             jax.nn.silu(temb))
         h = h + e[:, None, None, None, :]
-        h = jax.nn.silu(GroupNorm(name="out_norm")(h))
+        h = jax.nn.silu(GroupNorm(name="out_norm")(h, reduce_axes=per_frame))
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="out_conv", kernel_init=nn.initializers.zeros)(h)
         if x.shape[-1] != self.out_channels:
@@ -381,6 +385,7 @@ class UNetSD(nn.Module):
                     scale *= 2.0
                 blk += 1
 
-        h = jax.nn.silu(GroupNorm(name="out_norm")(h))
+        # head GN also runs per-frame ((b f) c h w layout, unet_sd.py:328)
+        h = jax.nn.silu(GroupNorm(name="out_norm")(h, reduce_axes=(2, 3)))
         return nn.Conv(cfg.out_dim, (3, 3), padding=1, dtype=self.dtype,
                        name="out_conv", kernel_init=nn.initializers.zeros)(h)

@@ -170,6 +170,101 @@ def convert_clip_text_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return tree.get("text_model", tree)
 
 
+# --- ModelScope UNetSD (modules/damo_text_to_video/unet_sd.py) -------------
+
+
+def _unet_sd_index_map(cfg) -> Dict[str, str]:
+    """Map the reference's Sequential numbering (input_blocks.N.M /
+    middle_block.M / output_blocks.N.M) onto our named modules, by walking
+    the same construction order (unet_sd.py:89-242)."""
+    m: Dict[str, str] = {
+        "input_blocks.0.0": "init_conv",
+        "input_blocks.0.1": "init_temporal",
+        "middle_block.0": "mid_res_0",
+        "middle_block.1": "mid_spatial",
+        "middle_block.2": "mid_temporal",
+        "middle_block.3": "mid_res_1",
+    }
+    scale = 1.0
+    idx, blk = 1, 0
+    n_levels = len(cfg.dim_mult)
+    for i in range(n_levels):
+        for j in range(cfg.num_res_blocks):
+            m[f"input_blocks.{idx}.0"] = f"down_res_{blk}"
+            if scale in cfg.attn_scales:
+                m[f"input_blocks.{idx}.1"] = f"down_spatial_{blk}"
+                m[f"input_blocks.{idx}.2"] = f"down_temporal_{blk}"
+            idx += 1
+            blk += 1
+            if i != n_levels - 1 and j == cfg.num_res_blocks - 1:
+                m[f"input_blocks.{idx}"] = f"downsample_{i}"
+                idx += 1
+                scale /= 2.0
+    blk = 0
+    for i in range(n_levels):
+        for j in range(cfg.num_res_blocks + 1):
+            base = f"output_blocks.{blk}"
+            m[f"{base}.0"] = f"up_res_{blk}"
+            pos = 1
+            if scale in cfg.attn_scales:
+                m[f"{base}.1"] = f"up_spatial_{blk}"
+                m[f"{base}.2"] = f"up_temporal_{blk}"
+                pos = 3
+            if i != n_levels - 1 and j == cfg.num_res_blocks:
+                m[f"{base}.{pos}"] = f"upsample_{i}"
+                scale *= 2.0
+            blk += 1
+    m["out.0"] = "out_norm"
+    m["out.2"] = "out_conv"
+    m["time_embed.0"] = "time_embed_1"
+    m["time_embed.2"] = "time_embed_2"
+    return m
+
+
+_UNET_SD_INNER_RULES: List[Tuple[str, str]] = [
+    (r"\bin_layers\.0", "in_norm"),
+    (r"\bin_layers\.2", "in_conv"),
+    (r"\bemb_layers\.1", "emb_proj"),
+    (r"\bout_layers\.0", "out_norm"),
+    (r"\bout_layers\.3", "out_conv"),
+    (r"\btemopral_conv\b", "temporal_conv"),  # reference typo
+    (r"\btemporal_conv\.conv(\d)\.0", r"temporal_conv.norm\1"),
+    (r"\btemporal_conv\.conv(\d)\.[23]", r"temporal_conv.conv\1"),
+    (r"\btransformer_blocks\.0", "transformer_blocks_0"),
+    (r"\bff\.net\.0\.proj", "ff.geglu_proj"),
+    (r"\bff\.net\.2", "ff.proj_out"),
+    (r"\bto_out\.0", "to_out"),
+]
+
+
+def convert_unet_sd_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """text2video_pytorch_model.pth -> UNetSD params (cfg: ModelScopeConfig)."""
+    sd = strip_prefixes(sd)
+    index_map = _unet_sd_index_map(cfg)
+    # longest-prefix keys first so e.g. input_blocks.10 beats input_blocks.1
+    prefixes = sorted(index_map, key=len, reverse=True)
+    flat: Dict[str, Array] = {}
+    for k, v in sd.items():
+        v = _to_numpy(v)
+        new_k = None
+        for p in prefixes:
+            if k.startswith(p + "."):
+                new_k = index_map[p] + k[len(p):]
+                break
+        if new_k is None:
+            continue  # buffers / unknown extras
+        new_k = _apply_rules(new_k, _UNET_SD_INNER_RULES)
+        mod_path, leaf = new_k.rsplit(".", 1)
+        if leaf == "weight" and v.ndim == 5:  # Conv3d (O,I,3,1,1) -> (3,I,O)
+            leaf, v = "kernel", np.transpose(v[:, :, :, 0, 0], (2, 1, 0))
+        elif leaf == "weight" and v.ndim == 3:  # Conv1d k=1 -> Dense
+            leaf, v = "kernel", np.transpose(v[:, :, 0])
+        else:
+            leaf, v = _convert_value(leaf, v, _is_norm_param(new_k))
+        flat[mod_path.replace(".", "/") + "/" + leaf] = v
+    return nest(flat)
+
+
 # --- OpenCLIP text tower (modules/openclip/modules.py:138-197) ------------
 
 
