@@ -29,9 +29,13 @@ def build_parser():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--num-frames", type=int, default=16)
     p.add_argument("--latent-size", type=int, default=32)
-    p.add_argument("--unet-ckpt", default=None)
+    p.add_argument("--unet-ckpt", default=None,
+                   help="ModelScope text2video_pytorch_model.pth")
     p.add_argument("--vae-ckpt", default=None)
-    p.add_argument("--clip-ckpt", default=None)
+    p.add_argument("--clip-ckpt", default=None,
+                   help="OpenCLIP ViT-H text tower (conditioning)")
+    p.add_argument("--clip-filter-ckpt", default=None,
+                   help="HF CLIPModel (ViT-L/14) for the quality gate")
     p.add_argument("--allow-random-weights", action="store_true")
     p.add_argument("--no-clip-filter", action="store_true",
                    help="accept all samples (when no CLIP weights exist)")
@@ -85,8 +89,11 @@ def main(argv=None):
     if args.clip_ckpt:
         params["text"] = convert_openclip_text_state_dict(
             load_torch_weights(args.clip_ckpt))
-    # NOTE: UNetSD torch->flax conversion rules land with the weight drop;
-    # until then the model runs random-init (smoke/perf only).
+    if args.unet_ckpt:
+        from insv2v_tpu.utils.convert import convert_unet_sd_state_dict
+
+        params["unet"] = convert_unet_sd_state_dict(
+            load_torch_weights(args.unet_ckpt), ms_cfg)
     missing = {"unet", "vae", "text"} - set(params)
     if missing and not args.allow_random_weights:
         raise SystemExit(f"missing weights for {sorted(missing)}; pass "
@@ -120,9 +127,15 @@ def main(argv=None):
     )
 
     clip_metric = None
-    if not args.no_clip_filter:
-        print("WARNING: CLIP filter weights not wired; pass --no-clip-filter "
-              "or provide a CLIPModel checkpoint in a future round")
+    if args.clip_filter_ckpt:
+        from insv2v_tpu.utils.clip_metrics import ClipSimilarity
+        from insv2v_tpu.utils.convert import convert_clip_model_state_dict
+
+        clip_metric = ClipSimilarity(convert_clip_model_state_dict(
+            load_torch_weights(args.clip_filter_ckpt)), tokenizer=tokenizer)
+    elif not args.no_clip_filter:
+        print("WARNING: no --clip-filter-ckpt given; accepting all samples "
+              "(pass --no-clip-filter to silence)")
 
     rs = np.random.RandomState(args.seed)
     for p_idx, prompt in enumerate(prompts):
@@ -173,8 +186,22 @@ def main(argv=None):
                 imgs = np.asarray(decode(params["vae"], latv[0]))
                 frames[tag] = np.clip(imgs, -1, 1)
 
-            scores = dict(sim_0=1.0, sim_1=1.0, sim_dir=1.0, sim_image=1.0)
-            ok = True  # CLIP gate wired when weights are present
+            if clip_metric is not None:
+                s = clip_metric(frames["0"], frames["1"],
+                                [prompt["input"]], [prompt["output"]])
+                scores = dict(
+                    sim_0=float(np.mean(s["sim_0"])),
+                    sim_1=float(np.mean(s["sim_1"])),
+                    sim_dir=float(np.mean(s["sim_direction"])),
+                    sim_image=float(np.mean(s["sim_image"])),
+                )
+                ok = (scores["sim_0"] > CLIP_SCORE_GATES["sim_0"]
+                      and scores["sim_1"] > CLIP_SCORE_GATES["sim_1"]
+                      and scores["sim_dir"] > CLIP_SCORE_GATES["sim_dir"]
+                      and scores["sim_image"] > CLIP_SCORE_GATES["sim_image"])
+            else:
+                scores = dict(sim_0=1.0, sim_1=1.0, sim_dir=1.0, sim_image=1.0)
+                ok = True
             record = dict(seed=seed, guidance=guidance, sa_end=sa_end,
                           ca_end=ca_end, edit_weight=edit_weight,
                           accepted=ok, **scores)
