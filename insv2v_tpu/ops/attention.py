@@ -119,11 +119,18 @@ def flash_attention(
         blk_q = _FLASH_BLK_Q
     if blk_k is None:
         blk_k = _FLASH_BLK_K
+
+    def pick_block(s: int, target: int) -> int:
+        """Largest block <= target that minimizes pad waste: split s into
+        ceil(s/target) near-equal 128-aligned chunks."""
+        nblk = -(-s // target)
+        return min(target, _round_up(-(-s // nblk), 128))
+
     b, h, sq, d = q.shape
     sk = k.shape[2]
     dp = _round_up(d, 128)
-    blk_q = min(blk_q, _round_up(sq, 128))
-    blk_k = min(blk_k, _round_up(sk, 128))
+    blk_q = pick_block(sq, blk_q)
+    blk_k = pick_block(sk, blk_k)
     sqp = _round_up(sq, blk_q)
     skp = _round_up(sk, blk_k)
 
@@ -174,8 +181,10 @@ import os as _os
 
 _FLASH_MIN_SEQ = int(_os.environ.get("INSV2V_FLASH_MIN_SEQ", "512"))
 _FLASH_DISABLED = _os.environ.get("INSV2V_FLASH", "1") == "0"
-_FLASH_BLK_Q = int(_os.environ.get("INSV2V_FLASH_BLKQ", "256"))
-_FLASH_BLK_K = int(_os.environ.get("INSV2V_FLASH_BLKK", "512"))
+# defaults from v5e A/B on the 256x384 editing workload (blk 512/768 beat
+# both 256/512 and the fused-XLA path)
+_FLASH_BLK_Q = int(_os.environ.get("INSV2V_FLASH_BLKQ", "512"))
+_FLASH_BLK_K = int(_os.environ.get("INSV2V_FLASH_BLKK", "768"))
 
 
 def _on_tpu() -> bool:
