@@ -44,6 +44,15 @@ from insv2v_tpu.ops.norms import group_norm, layer_norm
 from insv2v_tpu.ops.resize import nearest_upsample_2x
 from insv2v_tpu.utils.registry import register
 
+# Profiling-only ablation hook: INSV2V_ABLATE=attn1,attn2,motion,ff skips
+# the named sublayers so bench A/Bs can attribute step time (the axon
+# relay makes per-op timing unreliable — see bench.py). Never set in
+# production paths.
+import os as _os
+
+_ABLATE = frozenset(
+    x for x in _os.environ.get("INSV2V_ABLATE", "").split(",") if x)
+
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
@@ -187,13 +196,16 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        x = x + CrossAttention(self.heads, self.head_dim, dtype=self.dtype,
-                               name="attn1")(LayerNorm(name="norm1")(x))
-        x = x + CrossAttention(self.heads, self.head_dim, dtype=self.dtype,
-                               use_flash=False, name="attn2")(
-            LayerNorm(name="norm2")(x), context)
-        x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
-            LayerNorm(name="norm3")(x))
+        if "attn1" not in _ABLATE:
+            x = x + CrossAttention(self.heads, self.head_dim, dtype=self.dtype,
+                                   name="attn1")(LayerNorm(name="norm1")(x))
+        if "attn2" not in _ABLATE:
+            x = x + CrossAttention(self.heads, self.head_dim, dtype=self.dtype,
+                                   use_flash=False, name="attn2")(
+                LayerNorm(name="norm2")(x), context)
+        if "ff" not in _ABLATE:
+            x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
+                LayerNorm(name="norm3")(x))
         return x
 
 
@@ -398,7 +410,7 @@ class DownBlock3D(nn.Module):
                     cfg.norm_num_groups, dtype=self.dtype,
                     name=f"attentions_{i}",
                 )(x, context)
-            if self.use_motion:
+            if self.use_motion and "motion" not in _ABLATE:
                 x = MotionModule(**_motion_kwargs(cfg), dtype=self.dtype,
                                  name=f"motion_modules_{i}")(x, video_start_index)
             states.append(x)
@@ -455,7 +467,7 @@ class UpBlock3D(nn.Module):
                     cfg.norm_num_groups, dtype=self.dtype,
                     name=f"attentions_{i}",
                 )(x, context)
-            if self.use_motion:
+            if self.use_motion and "motion" not in _ABLATE:
                 x = MotionModule(**_motion_kwargs(cfg), dtype=self.dtype,
                                  name=f"motion_modules_{i}")(x, video_start_index)
         if self.add_upsample:

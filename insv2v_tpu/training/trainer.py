@@ -47,6 +47,7 @@ class TrainConfig:
     betas: Tuple[float, float] = (0.9, 0.999)
     optimizer: str = "adam"  # adam | adam8bit (bnb Adam8bit parity)
     loss_type: str = "l2"  # l1 | l2 (diffusion.py get_loss)
+    prediction_type: str = "epsilon"  # epsilon | sample (diffusion.py:105-108)
     cond_image_dropout: float = 0.1
     scale_factor: float = SD_SCALE_FACTOR
     accumulate_grad_batches: int = 1
@@ -186,7 +187,8 @@ class Trainer:
 
         sample = jnp.concatenate([x_t, cond], axis=-1)
         pred = self.unet.apply({"params": params}, sample, t, text_emb)
-        return _loss(pred, eps, cfg.loss_type)
+        target = eps if cfg.prediction_type == "epsilon" else x0
+        return _loss(pred, target, cfg.loss_type)
 
     def _train_step(self, state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         cfg = self.cfg

@@ -10,6 +10,7 @@ import os
 # config after import (platform init is lazy, so this is still early
 # enough as long as no backend has been touched).
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("INSV2V_ABLATE", None)  # never let perf-ablation hooks leak in
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
