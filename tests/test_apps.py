@@ -113,6 +113,48 @@ def test_config_interpolation(tmp_path):
     assert cfg["nested"]["c"] == "x/y/z"
 
 
+def _patch_tiny_text_model(monkeypatch):
+    from insv2v_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+    from insv2v_tpu.utils import factory
+    from insv2v_tpu.utils.registry import _REGISTRY
+
+    build = lambda **kw: ClipTextEncoder(ClipTextConfig(
+        vocab_size=49408, hidden_size=768, num_layers=1, num_heads=4,
+        intermediate_size=32))
+    monkeypatch.setattr(factory, "build_text_model", build)
+    monkeypatch.setitem(_REGISTRY, "modules.openclip.modules.FrozenCLIPEmbedder",
+                        build)
+
+
+@pytest.mark.slow
+def test_edit_video_cli_smoke(tmp_path, monkeypatch):
+    import cv2
+
+    cfg = write_tiny_config(tmp_path)
+    _patch_tiny_text_model(monkeypatch)
+    mp4 = str(tmp_path / "in.mp4")
+    vw = cv2.VideoWriter(mp4, cv2.VideoWriter_fourcc(*"mp4v"), 8, (48, 48))
+    rs = np.random.RandomState(0)
+    for _ in range(8):
+        vw.write((rs.rand(48, 48, 3) * 255).astype(np.uint8))
+    vw.release()
+
+    from insv2v_tpu.apps import edit_video
+
+    out = str(tmp_path / "out.gif")
+    edit_video.main([
+        "--video", mp4, "--prompt", "make it snowy", "--output", out,
+        "--config", cfg, "--allow-random-weights", "--image-size", "32",
+        "--num-frames", "6", "--frames-in-batch", "4", "--num-ref-frames", "2",
+        "--steps", "2", "--sampling-fps", "8",
+    ])
+    assert os.path.exists(out)
+    from insv2v_tpu.utils.media import load_gif
+
+    gif = load_gif(out)
+    assert gif.shape[0] == 6 and gif.shape[2] == 64  # original|edited concat
+
+
 @pytest.mark.slow
 def test_train_cli_smoke(tmp_path, monkeypatch):
     cfg = write_tiny_config(tmp_path)
