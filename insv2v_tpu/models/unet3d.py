@@ -242,8 +242,12 @@ class Transformer3DModel(nn.Module):
 class VersatileAttention(nn.Module):
     """Temporal self-attention with sinusoidal PE (motion_module.py:245-336).
 
-    Operates on (B*H*W, F, C); the PE (sliced at video_start_index) is
-    added to the hidden states before q/k/v projection.
+    Operates on (B, F, P, C) — frame axis attended, pixels stay in place.
+    The reference folds pixels into batch ((b d) f c); on TPU that
+    transpose shuffles the whole activation through HBM twice per block,
+    and ablation showed the motion modules dominating step time — the
+    direct einsum formulation below attends over F with zero transposes
+    (math identical; see test_unet3d.py parity).
     """
 
     heads: int
@@ -253,21 +257,25 @@ class VersatileAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, video_start_index):
-        f = x.shape[1]
+        b, f, p, c = x.shape
         pe = jnp.asarray(
-            temporal_positional_encoding_table(x.shape[-1], self.max_len)
+            temporal_positional_encoding_table(c, self.max_len)
         )
-        x = x + temporal_pe_slice(pe, video_start_index, f)[None].astype(x.dtype)
+        x = x + temporal_pe_slice(pe, video_start_index, f)[None, :, None, :].astype(x.dtype)
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        b = x.shape[0]
-        split = lambda t: t.reshape(b, f, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        # F <= 32: always the fused XLA path (tiny seq, huge batch)
-        o = plain_attention(split(q), split(k), split(v))
-        o = o.transpose(0, 2, 1, 3).reshape(b, f, inner)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
+        split = lambda t: t.reshape(b, f, p, self.heads, self.head_dim)
+        qh, kh, vh = split(q), split(k), split(v)
+        logits = jnp.einsum("bfphe,bgphe->bphfg", qh, kh,
+                            preferred_element_type=jnp.float32)
+        logits = logits * jnp.float32(self.head_dim ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        o = jnp.einsum("bphfg,bgphe->bfphe", probs, vh,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        o = o.reshape(b, f, p, inner)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(o)
 
 
 class TemporalTransformerBlock(nn.Module):
@@ -312,16 +320,14 @@ class MotionModule(nn.Module):
         # per-frame GN stats (motion_module.py:131-136), eps 1e-6
         xf = x.reshape(b * f, h, w, c)
         xf = GroupNorm(self.num_groups, eps=1e-6, name="norm")(xf)
-        seq = xf.reshape(b * f, h * w, c)
+        # stay in (B, F, P, C): temporal attention runs transpose-free
+        seq = xf.reshape(b, f, h * w, c)
         seq = nn.Dense(c, dtype=self.dtype, name="proj_in")(seq)
-        # fold pixels into batch: (B*F, HW, C) -> (B*HW, F, C)
-        seq = seq.reshape(b, f, h * w, c).transpose(0, 2, 1, 3).reshape(b * h * w, f, c)
         for i in range(self.num_transformer_block):
             seq = TemporalTransformerBlock(
                 self.heads, head_dim, self.attention_block_types, self.max_len,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
             )(seq, video_start_index)
-        seq = seq.reshape(b, h * w, f, c).transpose(0, 2, 1, 3)
         seq = nn.Dense(c, dtype=self.dtype, name="proj_out",
                        kernel_init=nn.initializers.zeros)(seq)
         return seq.reshape(b, f, h, w, c) + residual
