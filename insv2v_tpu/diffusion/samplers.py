@@ -34,6 +34,7 @@ __all__ = [
     "rescale_noise_cfg",
     "dual_cfg_eps",
     "sample_video_window",
+    "sample_plain",
     "sample_edit_ref_image",
     "split_windows",
     "WindowSpec",
@@ -170,6 +171,51 @@ def sample_video_window(
     (final, _), all_x0 = jax.lax.scan(
         step, (latent.astype(jnp.float32), rng), jnp.arange(num_steps)
     )
+    return {"latent": final, "pred_x0": all_x0[-1]}
+
+
+def sample_plain(
+    unet_apply: UnetApply,
+    params: Any,
+    tables: SamplerTables,
+    latent: jnp.ndarray,
+    context: jnp.ndarray,
+    uncond_context: Optional[jnp.ndarray] = None,
+    null_embeddings: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    guidance_scale: float = 5.0,
+) -> dict:
+    """The generic single-CFG sampler (Inference.__call__, inference.py:53-99):
+    plain text-conditional denoising with optional CFG; ``null_embeddings``
+    (S, B, L, D) supplies a per-step uncond embedding (null-text-inversion
+    style) instead of a fixed one."""
+    do_cfg = guidance_scale > 1 and (
+        uncond_context is not None or null_embeddings is not None)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, i):
+        lat, key = carry
+        key, nkey = jax.random.split(key)
+        t = tables.timesteps[i]
+        if do_cfg:
+            uncond = (null_embeddings[i] if null_embeddings is not None
+                      else uncond_context)
+            x2 = jnp.concatenate([lat, lat], axis=0)
+            ctx = jnp.concatenate([uncond, context], axis=0)
+            t_b = jnp.broadcast_to(t, (x2.shape[0],))
+            e_u, e_c = jnp.split(
+                unet_apply(params, x2, t_b, ctx, 0).astype(jnp.float32), 2, axis=0)
+            eps = e_u + guidance_scale * (e_c - e_u)
+        else:
+            t_b = jnp.broadcast_to(t, (lat.shape[0],))
+            eps = unet_apply(params, lat, t_b, context, 0).astype(jnp.float32)
+        noise = jax.random.normal(nkey, lat.shape, dtype=jnp.float32)
+        lat, x0 = sampler_step(tables, lat, eps, i, noise)
+        return (lat, key), x0
+
+    (final, _), all_x0 = jax.lax.scan(
+        step, (latent.astype(jnp.float32), rng), jnp.arange(tables.num_steps))
     return {"latent": final, "pred_x0": all_x0[-1]}
 
 

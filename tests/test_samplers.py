@@ -196,3 +196,28 @@ class TestSplitWindows:
         ws = split_windows(32)
         assert ws == [WindowSpec(0, 16, 0), WindowSpec(12, 16, 4),
                       WindowSpec(16, 16, 12)]
+
+
+class TestPlainSampler:
+    def test_cfg_and_null_embeddings(self):
+        from insv2v_tpu.diffusion.samplers import sample_plain
+        tables = make_sampler_tables(SCHED, 3, kind="ddim")
+
+        def probe(params, x, t, ctx, vsi):
+            return x[..., :] * 0.5 + jnp.mean(ctx, axis=(1, 2))[:, None, None, None, None]
+
+        lat = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 2))
+        ctx = jnp.ones((1, 3, 5))
+        un = jnp.zeros((1, 3, 5))
+        out = sample_plain(None and probe or probe, None, tables, lat, ctx, un,
+                           guidance_scale=4.0)
+        assert out["latent"].shape == lat.shape
+        # per-step nulls: same values as fixed uncond -> identical result
+        nulls = jnp.zeros((3, 1, 3, 5))
+        out2 = sample_plain(probe, None, tables, lat, ctx, None, nulls,
+                            guidance_scale=4.0)
+        np.testing.assert_allclose(np.asarray(out["latent"]),
+                                   np.asarray(out2["latent"]), atol=1e-6)
+        # no-cfg path
+        out3 = sample_plain(probe, None, tables, lat, ctx, guidance_scale=1.0)
+        assert np.abs(np.asarray(out3["latent"] - out["latent"])).max() > 1e-4
