@@ -170,6 +170,39 @@ def convert_clip_text_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return tree.get("text_model", tree)
 
 
+# --- RAFT (princeton-vl checkpoints; torchvision raft_large equivalent) ----
+
+_RAFT_RULES: List[Tuple[str, str]] = [
+    (r"^module\.", ""),
+    (r"\blayer(\d)\.(\d)", r"layer\1_\2"),
+    (r"\bdownsample\.0", "downsample"),
+    (r"\bdownsample\.1", "norm3"),
+    (r"\bupdate_block\.mask\.0", "update_block.mask_0"),
+    (r"\bupdate_block\.mask\.2", "update_block.mask_2"),
+]
+
+
+def convert_raft_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """raft-things/sintel .pth -> RAFT params. fnet InstanceNorms have no
+    parameters; cnet BatchNorm running stats become FrozenBatchNorm params."""
+    sd = strip_prefixes(sd)
+    flat: Dict[str, Array] = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        v = _to_numpy(v)
+        k = _apply_rules(k, _RAFT_RULES)
+        mod_path, leaf = k.rsplit(".", 1)
+        if leaf == "running_mean":
+            leaf = "mean"
+        elif leaf == "running_var":
+            leaf = "var"
+        else:
+            leaf, v = _convert_value(leaf, v, _is_norm_param(k))
+        flat[mod_path.replace(".", "/") + "/" + leaf] = v
+    return nest(flat)
+
+
 # --- ModelScope UNetSD (modules/damo_text_to_video/unet_sd.py) -------------
 
 

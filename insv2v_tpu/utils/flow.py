@@ -50,11 +50,56 @@ class ZeroFlow:
         return np.zeros(query.shape[:2] + (2,), dtype=np.float32)
 
 
-def get_flow_estimator(kind: str = "farneback"):
+class RaftFlow:
+    """On-device RAFT (models/raft.py) — the reference's flow model
+    (flow_utils.py:134-189) run as jitted XLA. Weights: a princeton-vl
+    raft .pth via ``weights_path`` (or $INSV2V_RAFT_WEIGHTS)."""
+
+    def __init__(self, weights_path: Optional[str] = None, iters: int = 12):
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from insv2v_tpu.models.raft import RAFT, RaftConfig
+
+        self.model = RAFT(cfg=RaftConfig(iters=iters))
+        weights_path = weights_path or os.environ.get("INSV2V_RAFT_WEIGHTS")
+        if weights_path:
+            from insv2v_tpu.utils.checkpoint import load_torch_weights
+            from insv2v_tpu.utils.convert import convert_raft_state_dict
+
+            self.params = convert_raft_state_dict(
+                load_torch_weights(weights_path))
+        else:
+            import warnings
+
+            warnings.warn("RaftFlow without weights produces meaningless "
+                          "flow; set INSV2V_RAFT_WEIGHTS")
+            dummy = jnp.zeros((1, 64, 64, 3))
+            self.params = self.model.init(
+                jax.random.PRNGKey(0), dummy, dummy)["params"]
+        self._apply = jax.jit(
+            lambda p, a, b: self.model.apply({"params": p}, a, b))
+
+    def __call__(self, query: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        h, w = query.shape[:2]
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        pad = lambda im: np.pad(im, ((0, hp - h), (0, wp - w), (0, 0)))
+        flow = self._apply(self.params, jnp.asarray(pad(query))[None],
+                           jnp.asarray(pad(ref))[None])
+        return np.asarray(flow)[0, :h, :w]
+
+
+def get_flow_estimator(kind: str = "farneback", **kwargs):
     if kind == "farneback":
-        return FarnebackFlow()
+        return FarnebackFlow(**kwargs)
     if kind == "zero":
         return ZeroFlow()
+    if kind == "raft":
+        return RaftFlow(**kwargs)
     raise ValueError(f"unknown flow estimator {kind!r}")
 
 
