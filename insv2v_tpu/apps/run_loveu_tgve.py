@@ -41,8 +41,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import numpy as np
-
     from insv2v_tpu.apps.edit_video import make_editor
     from insv2v_tpu.data.datasets import LoveuTgveVideoDataset
     from insv2v_tpu.utils.media import concat_videos, save_frames, save_gif

@@ -22,7 +22,7 @@ All latents are (B, F, h, w, C) channels-last.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

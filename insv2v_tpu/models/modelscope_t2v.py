@@ -23,7 +23,6 @@ blocks, attention at scales (1, 1/2, 1/4).
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Tuple, Union
 
 import flax.linen as nn

@@ -27,13 +27,12 @@ transformer_blocks_0/attn2/to_k/kernel``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from insv2v_tpu.ops.attention import attention as plain_attention
 from insv2v_tpu.ops.attention import dot_attention
 from insv2v_tpu.ops.embeddings import (
     temporal_pe_slice,

@@ -20,7 +20,7 @@ and samples; pass ``sample_posterior=False`` for the deterministic mode.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

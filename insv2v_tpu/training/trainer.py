@@ -20,19 +20,15 @@ TPU-native replacement for the Lightning/DeepSpeed training stack
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import NamedSharding, PartitionSpec as P
-
 from insv2v_tpu.diffusion.schedules import DiffusionSchedule, add_noise
 from insv2v_tpu.models.vae import SD_SCALE_FACTOR, AutoencoderKL
 from insv2v_tpu.parallel.mesh import (
-    DP_AXIS,
     batch_sharding,
     constrain_zero_sharding,
     make_mesh,
