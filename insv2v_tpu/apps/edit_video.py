@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-ref-frames", type=int, default=4)
     p.add_argument("--noise-correct", type=float, default=0.5)
     p.add_argument("--with-optical-flow", action="store_true")
+    p.add_argument("--flow-estimator", default="farneback",
+                   choices=["farneback", "raft", "zero"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--allow-random-weights", action="store_true",
                    help="run without a checkpoint (smoke tests only)")
@@ -94,6 +96,11 @@ def main(argv=None):
 
     editor = make_editor(args.config, args.ckpt, args.scheduler, args.steps,
                          args.allow_random_weights)
+    flow_est = None
+    if args.with_optical_flow:
+        from insv2v_tpu.utils.flow import get_flow_estimator
+
+        flow_est = get_flow_estimator(args.flow_estimator)
     edited = editor(
         frames, args.prompt,
         text_cfg=args.text_cfg, video_cfg=args.video_cfg,
@@ -101,6 +108,7 @@ def main(argv=None):
         num_ref_frames=args.num_ref_frames,
         noise_correct_step=args.noise_correct,
         use_motion_compensation=args.with_optical_flow,
+        flow_estimator=flow_est,
         seed=args.seed,
     )
     save_gif(concat_videos([frames, edited]), args.output)

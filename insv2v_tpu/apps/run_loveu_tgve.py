@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise-correct", type=float, default=0.5)
     p.add_argument("--limit-videos", type=int, default=None)
     p.add_argument("--allow-random-weights", action="store_true")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="split the sweep across N independent workers "
+                   "(one per chip/host); combine with --shard-index")
+    p.add_argument("--shard-index", type=int, default=0)
+    p.add_argument("--flow-estimator", default="farneback",
+                   choices=["farneback", "raft", "zero"])
     return p
 
 
@@ -56,7 +62,16 @@ def main(argv=None):
         names = ds.video_names()
         if args.limit_videos:
             names = names[: args.limit_videos]
-        grid = product(names, args.text_cfg, args.video_cfg, args.num_frames)
+        grid = list(product(names, args.text_cfg, args.video_cfg,
+                            args.num_frames))
+        # static round-robin sweep sharding: the grid cells are independent,
+        # so N chips/hosts scale the benchmark embarrassingly (SURVEY §5.8)
+        grid = grid[args.shard_index:: args.num_shards]
+        flow_est = None
+        if args.with_optical_flow:
+            from insv2v_tpu.utils.flow import get_flow_estimator
+
+            flow_est = get_flow_estimator(args.flow_estimator)
         for video_name, text_cfg, video_cfg, num_frames in grid:
             item = ds[video_name]
             total = item["frames"].shape[0]
@@ -77,6 +92,7 @@ def main(argv=None):
                     num_ref_frames=args.num_ref_frames,
                     noise_correct_step=args.noise_correct,
                     use_motion_compensation=args.with_optical_flow,
+                    flow_estimator=flow_est,
                 )
                 dt = time.perf_counter() - t0
                 metrics["videos"] += 1
