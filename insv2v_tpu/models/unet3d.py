@@ -146,29 +146,8 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(h)
 
 
-class ProjKernel(nn.Module):
-    """Bias-free projection kernel declared at a named scope — lets
-    attention fuse q/k/v into ONE matmul (a single activation read)
-    while keeping the per-projection param paths (to_q/kernel etc.) that
-    the checkpoint converter targets."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.in_features, self.features),
-        )
-
-
 class CrossAttention(nn.Module):
-    """diffusers ``Attention``: to_q/k/v (no bias) + to_out (bias).
-
-    Self-attention fuses the three projections into one matmul; cross
-    attention fuses k/v over the context."""
+    """diffusers ``Attention``: to_q/k/v (no bias) + to_out (bias)."""
 
     heads: int
     head_dim: int
@@ -177,19 +156,11 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        context = x if context is None else context
         inner = self.heads * self.head_dim
-        c_in = x.shape[-1]
-        ctx_in = c_in if context is None else context.shape[-1]
-        wq = ProjKernel(c_in, inner, name="to_q")()
-        wk = ProjKernel(ctx_in, inner, name="to_k")()
-        wv = ProjKernel(ctx_in, inner, name="to_v")()
-        if context is None:
-            qkv = x @ jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-        else:
-            q = x @ wq.astype(self.dtype)
-            kv = context @ jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
-            k, v = jnp.split(kv, 2, axis=-1)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         b, sq, _ = q.shape
         sk = k.shape[1]
         split = lambda t, s: t.reshape(b, s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
@@ -291,11 +262,9 @@ class VersatileAttention(nn.Module):
         )
         x = x + temporal_pe_slice(pe, video_start_index, f)[None, :, None, :].astype(x.dtype)
         inner = self.heads * self.head_dim
-        wq = ProjKernel(c, inner, name="to_q")()
-        wk = ProjKernel(c, inner, name="to_k")()
-        wv = ProjKernel(c, inner, name="to_v")()
-        qkv = x @ jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
         split = lambda t: t.reshape(b, f, p, self.heads, self.head_dim)
         qh, kh, vh = split(q), split(k), split(v)
         logits = jnp.einsum("bfphe,bgphe->bphfg", qh, kh,
