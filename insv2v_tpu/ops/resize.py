@@ -126,3 +126,28 @@ def resize_flow(flow: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     H, W = flow.shape[1], flow.shape[2]
     scaled = flow.astype(jnp.float32) * jnp.array([w / W, h / H], dtype=jnp.float32)
     return bilinear_resize(scaled, h, w, align_corners=False)
+
+
+def check_flow_consistency(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray) -> jnp.ndarray:
+    """Forward/backward flow consistency mask
+    (misc_utils/flow_utils.py:88-131): a pixel is reliable when the
+    round-trip displacement is small relative to the motion magnitude and
+    it does not sit on a motion edge.
+
+    flow_fwd/flow_bwd: (N, H, W, 2). Returns float mask (N, H, W).
+    """
+    f = flow_fwd.astype(jnp.float32)
+    # motion-edge strength via central differences of the forward flow
+    gx = (jnp.roll(f[..., 0], -1, axis=2) - jnp.roll(f[..., 0], 1, axis=2)) * 0.5
+    gy = (jnp.roll(f[..., 1], -1, axis=1) - jnp.roll(f[..., 1], 1, axis=1)) * 0.5
+    motion_edge = gx * gx + gy * gy
+
+    # backward flow sampled at the forward-displaced position
+    bwd_at_fwd = warp_image(flow_bwd.astype(jnp.float32), f)
+    u, v = f[..., 0], f[..., 1]
+    u2, v2 = bwd_at_fwd[..., 0], bwd_at_fwd[..., 1]
+    roundtrip = (u + u2) ** 2 + (v + v2) ** 2
+    mag = u * u + v * v + u2 * u2 + v2 * v2
+    reliable = (roundtrip < 0.01 * mag + 0.5) & (
+        motion_edge <= 0.01 * (u * u + v * v) + 0.002)
+    return reliable.astype(jnp.float32)

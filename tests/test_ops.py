@@ -185,3 +185,27 @@ class TestEmbeddings:
         # start 16, frames 16 -> exactly fits, no wrap
         out = temporal_pe_slice(pe, 16, 16)
         np.testing.assert_allclose(np.asarray(out), np.asarray(pe[16:32]))
+
+
+class TestFlowConsistency:
+    def test_zero_flow_fully_reliable(self):
+        from insv2v_tpu.ops.resize import check_flow_consistency
+        z = jnp.zeros((1, 8, 8, 2))
+        mask = check_flow_consistency(z, z)
+        np.testing.assert_allclose(np.asarray(mask), 1.0)
+
+    def test_inconsistent_flow_rejected(self):
+        from insv2v_tpu.ops.resize import check_flow_consistency
+        fwd = jnp.ones((1, 8, 8, 2)) * 2.0
+        bwd = jnp.ones((1, 8, 8, 2)) * 2.0  # same sign: round trip = 4px
+        mask = check_flow_consistency(fwd, bwd)
+        interior = np.asarray(mask)[0, 2:-2, 2:-2]
+        assert interior.mean() < 0.5
+
+    def test_consistent_translation_accepted(self):
+        from insv2v_tpu.ops.resize import check_flow_consistency
+        fwd = jnp.ones((1, 8, 8, 2)) * 2.0
+        bwd = -fwd
+        mask = check_flow_consistency(fwd, bwd)
+        interior = np.asarray(mask)[0, 3:-3, 3:-3]
+        np.testing.assert_allclose(interior, 1.0)
