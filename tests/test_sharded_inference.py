@@ -1,0 +1,51 @@
+"""Multi-chip inference: the window sampler jitted over a dp mesh with the
+video batch sharded across 8 devices matches the unsharded result — the
+scaling mode used to fan the LOVEU sweep out over a slice."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from insv2v_tpu.diffusion.samplers import sample_video_window
+from insv2v_tpu.diffusion.schedules import DiffusionSchedule, make_sampler_tables
+from insv2v_tpu.models.unet3d import UNet3DConditionModel, UNetConfig
+from insv2v_tpu.parallel.mesh import make_mesh
+
+
+def test_batch_sharded_window_sampler_matches_single_device():
+    mesh = make_mesh()
+    model = UNet3DConditionModel(cfg=UNetConfig.tiny())
+    sched = DiffusionSchedule.create()
+    tables = make_sampler_tables(sched, 2, kind="ddim")
+
+    B = 8  # one video per device
+    rngs = jax.random.PRNGKey(0)
+    lat = jax.random.normal(rngs, (B, 2, 8, 8, 4))
+    cond = jax.random.normal(jax.random.fold_in(rngs, 1), (B, 2, 8, 8, 4))
+    tc = jax.random.normal(jax.random.fold_in(rngs, 2), (B, 3, 12))
+    tu = jnp.zeros((B, 3, 12))
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 2, 8, 8, 8)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 12)))["params"]
+
+    def unet_apply(p, s, t, c, vsi):
+        return model.apply({"params": p}, s, t, c, video_start_index=vsi)
+
+    def run(p, lat, cond, tc, tu):
+        return sample_video_window(
+            unet_apply, p, tables, lat, cond, tc, tu, jax.random.PRNGKey(3),
+            text_cfg=4.0, img_cfg=1.3)["latent"]
+
+    batch_sh = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    rep_tree = jax.tree_util.tree_map(lambda _: rep, params)
+    sharded = jax.jit(
+        run,
+        in_shardings=(rep_tree, batch_sh, batch_sh, batch_sh, batch_sh),
+        out_shardings=batch_sh,
+    )(params, lat, cond, tc, tu)
+    single = jax.jit(run)(params, lat, cond, tc, tu)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-5)
+    # the result really is laid out across all 8 devices
+    assert len(sharded.sharding.device_set) == 8
