@@ -119,6 +119,7 @@ def main():
         times.append(time.perf_counter() - t_start)
     best = min(times)
     fps = NUM_FRAMES / best
+    p50 = sorted(times)[len(times) // 2]
     print(f"# denoise-chain times: {[f'{t:.2f}' for t in times]} s",
           file=sys.stderr)
     print(json.dumps({
@@ -126,6 +127,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_EST_FPS, 3),
+        "p50_edit_latency_s": round(p50, 2),
+        "config": f"{NUM_FRAMES}f@{HEIGHT}x{WIDTH},{STEPS}-step DDIM, dual CFG",
     }))
 
 
