@@ -72,3 +72,20 @@ def test_orbax_train_state_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored.params["w"]),
                                np.arange(6.0).reshape(2, 3))
     np.testing.assert_allclose(np.asarray(restored.text_params["t"]), 3.0)
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    sd = {
+        "vae.encoder.conv_in.weight": torch.randn(8, 3, 3, 3),
+        "vae.encoder.conv_in.bias": torch.randn(8),
+    }
+    src = str(tmp_path / "fused.pth")
+    torch.save(sd, src)
+    out = str(tmp_path / "converted")
+    from insv2v_tpu.apps import convert_checkpoint
+
+    convert_checkpoint.main(["--fused", src, "--output", out])
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(out)
+    assert restored["vae"]["encoder"]["conv_in"]["kernel"].shape == (3, 3, 3, 8)
