@@ -185,9 +185,10 @@ class VideoEditor:
         init0 = jax.random.normal(
             lat_rng, (1, w0.num_frames, h, w, cond_all.shape[-1]), dtype=jnp.float32
         )
+        rng, w0_rng = jax.random.split(rng)
         latent_pred = self._window(
             up, init0, cond_all[:, : w0.num_frames], text_cond, text_uncond,
-            rng, jnp.float32(text_cfg), jnp.float32(video_cfg), 0,
+            w0_rng, jnp.float32(text_cfg), jnp.float32(video_cfg), 0,
         )
         outs.append(latent_pred)
         prev_init = init0
