@@ -118,6 +118,8 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if "norms" in _ABLATE:  # profiling only
+            return x
         return group_norm(x, scale, bias, min(self.num_groups, c), self.eps,
                           reduce_axes=reduce_axes)
 
@@ -130,6 +132,8 @@ class LayerNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if "norms" in _ABLATE:  # profiling only
+            return x
         return layer_norm(x, scale, bias, self.eps)
 
 
