@@ -156,6 +156,50 @@ def test_edit_video_cli_smoke(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_run_loveu_cli_smoke(tmp_path, monkeypatch):
+    import cv2
+
+    cfg = write_tiny_config(tmp_path)
+    _patch_tiny_text_model(monkeypatch)
+    # tiny LOVEU fixture: one DAVIS video + CSV
+    (tmp_path / "DAVIS_480p" / "480p_videos").mkdir(parents=True)
+    vw = cv2.VideoWriter(str(tmp_path / "DAVIS_480p/480p_videos/bear.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 8, (48, 48))
+    rs = np.random.RandomState(0)
+    for _ in range(8):
+        vw.write((rs.rand(48, 48, 3) * 255).astype(np.uint8))
+    vw.release()
+    with open(tmp_path / "LOVEU-TGVE-2023_Dataset.csv", "w") as f:
+        f.write("Video name,Original,Style,Object,Background,Multiple\n")
+        f.write("DAVIS Videos:,,,,,\n")
+        f.write("bear,a bear,styled bear,a panda,bear on moon,panda on moon\n")
+
+    from insv2v_tpu.apps import run_loveu_tgve
+
+    out_dir = str(tmp_path / "outputs")
+    run_loveu_tgve.main([
+        "--config-path", cfg, "--data-dir", str(tmp_path),
+        "--output-dir", out_dir, "--allow-random-weights",
+        "--image-size", "32", "--num-frames", "4", "--steps", "2",
+        "--frames-in-batch", "4", "--num-ref-frames", "2",
+        "--text-cfg", "7.5", "--video-cfg", "1.2",
+    ])
+    gifs = [f for f in os.listdir(out_dir) if f.endswith(".gif")]
+    assert len(gifs) == 4  # one per edit type
+    assert os.path.exists(os.path.join(out_dir, "throughput.json"))
+    # idempotent resume: second run produces no new work
+    run_loveu_tgve.main([
+        "--config-path", cfg, "--data-dir", str(tmp_path),
+        "--output-dir", out_dir, "--allow-random-weights",
+        "--image-size", "32", "--num-frames", "4", "--steps", "2",
+        "--frames-in-batch", "4", "--num-ref-frames", "2",
+        "--text-cfg", "7.5", "--video-cfg", "1.2",
+    ])
+    metrics = json.load(open(os.path.join(out_dir, "throughput.json")))
+    assert metrics["videos"] == 0  # all skipped on resume
+
+
+@pytest.mark.slow
 def test_train_cli_smoke(tmp_path, monkeypatch):
     cfg = write_tiny_config(tmp_path)
     make_ptp_data(tmp_path)
