@@ -61,13 +61,30 @@ def group_norm(
     return out.astype(orig_dtype)
 
 
+import os as _os
+
+_PALLAS_NORM = _os.environ.get("INSV2V_PALLAS_NORM", "0") == "1"
+
+
 def layer_norm(
     x: jnp.ndarray,
     scale: jnp.ndarray,
     bias: jnp.ndarray,
     eps: float = 1e-5,
 ) -> jnp.ndarray:
-    """LayerNorm over the last axis with f32 statistics (torch default eps)."""
+    """LayerNorm over the last axis with f32 statistics (torch default eps).
+
+    With INSV2V_PALLAS_NORM=1 (and on TPU) dispatches to the fused Pallas
+    kernel (ops/fused_norm.py) — experimental, see PERF.md.
+    """
+    if _PALLAS_NORM and x.ndim >= 2:
+        try:
+            if jax.default_backend() == "tpu":
+                from insv2v_tpu.ops.fused_norm import fused_layer_norm
+
+                return fused_layer_norm(x, scale, bias, eps)
+        except RuntimeError:
+            pass
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)

@@ -209,3 +209,16 @@ class TestFlowConsistency:
         mask = check_flow_consistency(fwd, bwd)
         interior = np.asarray(mask)[0, 3:-3, 3:-3]
         np.testing.assert_allclose(interior, 1.0)
+
+
+class TestFusedLayerNorm:
+    def test_matches_reference_interpret(self):
+        from insv2v_tpu.ops.fused_norm import fused_layer_norm
+        x = rnd(3, 50, 64, seed=20)
+        scale = rnd(64, seed=21) * 0.1 + 1.0
+        bias = rnd(64, seed=22) * 0.1
+        got = fused_layer_norm(jnp.asarray(x), jnp.asarray(scale),
+                               jnp.asarray(bias), block_rows=64,
+                               interpret=True)
+        ref = layer_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
