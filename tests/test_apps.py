@@ -227,3 +227,11 @@ def test_train_cli_smoke(tmp_path, monkeypatch):
     assert lines[-1]["step"] == 2
     ckpts = [d for d in os.listdir(expt) if d.startswith("step_")]
     assert ckpts, os.listdir(expt)
+
+    # resume: restart from the checkpoint and continue to step 4
+    train.main(["--config", cfg, "--allow-random-weights", "--max-steps", "4",
+                "-r"])
+    lines = [json.loads(l) for l in open(expt / "metrics.jsonl")]
+    steps = [l["step"] for l in lines if "train_loss" in l]
+    assert steps[-1] == 4
+    assert 3 in steps and 1 in steps  # first run did 1-2, resumed run 3-4
