@@ -40,6 +40,8 @@ def build_parser():
     p.add_argument("--no-clip-filter", action="store_true",
                    help="accept all samples (when no CLIP weights exist)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="fixture-sized models (CI smoke runs only)")
     return p
 
 
@@ -69,10 +71,18 @@ def main(argv=None):
         prompts = json.load(f)
     prompts = prompts[args.start: args.end]
 
-    ms_cfg = ModelScopeConfig()
+    if args.tiny:
+        ms_cfg = ModelScopeConfig.tiny(context_dim=16)
+        vae_cfg = VaeConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                            z_channels=4, embed_dim=4, resolution=64)
+        clip_cfg = OpenClipTextConfig(width=16, num_layers=2, num_heads=2)
+    else:
+        ms_cfg = ModelScopeConfig()
+        vae_cfg = VaeConfig()
+        clip_cfg = OpenClipTextConfig.vit_h_14()
     unet = UNetSD(cfg=ms_cfg, dtype=jnp.bfloat16)
-    vae = AutoencoderKL(cfg=VaeConfig(), dtype=jnp.bfloat16)
-    text = OpenClipTextEncoder(OpenClipTextConfig.vit_h_14(), dtype=jnp.bfloat16)
+    vae = AutoencoderKL(cfg=vae_cfg, dtype=jnp.bfloat16)
+    text = OpenClipTextEncoder(clip_cfg, dtype=jnp.bfloat16)
     tokenizer = get_tokenizer()
 
     k = jax.random.PRNGKey(args.seed)

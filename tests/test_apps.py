@@ -235,3 +235,34 @@ def test_train_cli_smoke(tmp_path, monkeypatch):
     steps = [l["step"] for l in lines if "train_loss" in l]
     assert steps[-1] == 4
     assert 3 in steps and 1 in steps  # first run did 1-2, resumed run 3-4
+
+
+@pytest.mark.slow
+def test_generate_dataset_cli_smoke(tmp_path):
+    prompts = [{"input": "a cat walking", "output": "a dog walking",
+                "edit": "turn the cat into a dog"}]
+    pfile = str(tmp_path / "prompts.json")
+    with open(pfile, "w") as f:
+        json.dump(prompts, f)
+    out_dir = str(tmp_path / "gen")
+
+    from insv2v_tpu.apps import generate_dataset
+
+    generate_dataset.main([
+        "--prompts", pfile, "--output-dir", out_dir, "--tiny",
+        "--allow-random-weights", "--no-clip-filter",
+        "--num-samples", "1", "--max-attempts", "1",
+        "--steps", "3", "--num-frames", "2", "--latent-size", "8",
+    ])
+    sample = os.path.join(out_dir, "sample_000000")
+    assert os.path.exists(os.path.join(sample, "prompt.json"))
+    assert os.path.exists(os.path.join(sample, "metadata.jsonl"))
+    imgs = os.listdir(os.path.join(sample, "image"))
+    # 2 frames x 2 videos (old/new)
+    assert len([i for i in imgs if i.endswith(".jpg")]) == 4
+    # the generated folder is loadable by the training dataset
+    from insv2v_tpu.data.datasets import VideoPromptToPromptDataset
+
+    ds = VideoPromptToPromptDataset.__new__(VideoPromptToPromptDataset)
+    seeds = ds._accepted_seeds(sample)
+    assert len(seeds) == 1
