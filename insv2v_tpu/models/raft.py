@@ -178,11 +178,16 @@ def corr_lookup(pyramid: Tuple[jnp.ndarray, ...], coords: jnp.ndarray,
     b, h, w, _ = coords.shape
     n = b * h * w
     k = 2 * radius + 1
-    dy, dx = jnp.meshgrid(jnp.arange(-radius, radius + 1, dtype=jnp.float32),
-                          jnp.arange(-radius, radius + 1, dtype=jnp.float32),
-                          indexing="ij")
-    offs_y = dy.reshape(1, -1)
-    offs_x = dx.reshape(1, -1)
+    # NOTE: channel enumeration follows the original RAFT exactly — its
+    # delta grid comes from meshgrid(dy, dx) stacked as (dy, dx) and ADDED
+    # to (x, y), so the x offset varies with the MAJOR index. Keeping that
+    # (transposed-looking) order makes pretrained convc1 weights line up.
+    major, minor = jnp.meshgrid(
+        jnp.arange(-radius, radius + 1, dtype=jnp.float32),
+        jnp.arange(-radius, radius + 1, dtype=jnp.float32),
+        indexing="ij")
+    offs_x = major.reshape(1, -1)
+    offs_y = minor.reshape(1, -1)
     outs = []
     cx = coords[..., 0].reshape(n, 1)
     cy = coords[..., 1].reshape(n, 1)

@@ -131,3 +131,29 @@ def test_converter_matches_full_size_init_structure():
     ref_shapes = jax.tree_util.tree_map(lambda s: tuple(s.shape), ref)
     got_shapes = jax.tree_util.tree_map(np.shape, params)
     assert ref_shapes == got_shapes
+
+
+def test_full_raft_matches_torch_oracle():
+    """Cross-framework parity: the Flax RAFT vs an independent torch
+    implementation of the princeton-vl architecture, sharing weights via
+    the converter (full-size shapes, 3 iterations, eval-mode BN)."""
+    from oracles.raft_oracle import OracleRAFT
+
+    torch.manual_seed(0)
+    oracle = OracleRAFT()
+    oracle.eval()
+    params = convert_raft_state_dict(oracle.state_dict())
+    model = RAFT(cfg=RaftConfig(iters=3))
+
+    rs = np.random.RandomState(0)
+    # >= 128px so the coarsest corr level is 2x2 (grid_sample in the
+    # oracle divides by W-1; original RAFT has the same constraint)
+    im1 = rs.randn(1, 128, 128, 3).astype(np.float32) * 0.3
+    im2 = np.roll(im1, 3, axis=2)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(im1.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(im2.transpose(0, 3, 1, 2)), iters=3)
+    got = model.apply({"params": params}, jnp.asarray(im1), jnp.asarray(im2),
+                      iters=3)
+    np.testing.assert_allclose(np.asarray(got),
+                               ref.numpy().transpose(0, 2, 3, 1), atol=5e-3)
