@@ -48,10 +48,19 @@ class VideoEditor:
         num_steps: int = 20,
         scale_factor: float = SD_SCALE_FACTOR,
         beta_schedule_kwargs: Optional[dict] = None,
+        params_dtype: Optional[str] = "bfloat16",
     ):
         self.unet = unet
         self.vae = vae
         self.text_encoder = text_encoder
+        if params_dtype is not None:
+            # serve weights in bf16: halves weight HBM traffic at inference
+            # (norm statistics still accumulate in f32 inside the ops)
+            dt = jnp.dtype(params_dtype)
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(dt) if jnp.issubdtype(
+                    jnp.asarray(p).dtype, jnp.floating) else p,
+                params)
         self.params = params
         if tokenizer is None:
             from insv2v_tpu.text.tokenizer import get_tokenizer
