@@ -69,14 +69,30 @@ def make_editor(config_path: str, ckpt: str | None, scheduler: str,
         print(f"WARNING: checkpoint lacks {sorted(missing)}; they stay "
               f"random-init (strict=False semantics)", file=sys.stderr)
     k = jax.random.PRNGKey(0)
+
+    def base(name, init_fn):
+        # when the checkpoint fully provides a component, materialize the
+        # init as zeros via eval_shape (merge overwrites everything) —
+        # skips minutes of 0.86B-param random init on CPU hosts. Partial
+        # components keep the real random init (strict=False semantics).
+        shapes = jax.eval_shape(init_fn, k)
+        if name in loaded:
+            want = jax.tree_util.tree_structure(shapes)
+            have = jax.tree_util.tree_structure(loaded[name])
+            if want == have:
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return init_fn(k)
+
     params = {
-        "unet": unet.init(
-            k, jnp.zeros((1, 2, 32, 32, unet.cfg.in_channels)),
+        "unet": base("unet", lambda kk: unet.init(
+            kk, jnp.zeros((1, 2, 32, 32, unet.cfg.in_channels)),
             jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, unet.cfg.cross_attention_dim)))["params"],
-        "vae": vae.init(k, jnp.zeros((1, 64, 64, 3)),
-                        sample_posterior=False)["params"],
-        "text": text.init(k, jnp.zeros((1, 77), jnp.int32))["params"],
+            jnp.zeros((1, 77, unet.cfg.cross_attention_dim)))["params"]),
+        "vae": base("vae", lambda kk: vae.init(
+            kk, jnp.zeros((1, 64, 64, 3)), sample_posterior=False)["params"]),
+        "text": base("text", lambda kk: text.init(
+            kk, jnp.zeros((1, 77), jnp.int32))["params"]),
     }
     params = merge_params(params, loaded)
 
