@@ -23,6 +23,38 @@ import time
 
 A100_EST_FPS = 0.55  # see module docstring
 
+# bf16 peak TFLOP/s per chip by device_kind substring, for MFU: the
+# guess-free absolute anchor VERDICT.md asked for alongside vs_baseline
+TPU_PEAK_TFLOPS = {
+    "v6": 918.0,   # Trillium
+    "v5p": 459.0,
+    "v5 lite": 197.0, "v5e": 197.0, "v5litepod": 197.0,
+    "v4": 275.0,
+    "v3": 123.0,
+    "v2": 45.0,
+}
+
+
+def _peak_tflops(device) -> float:
+    kind = str(getattr(device, "device_kind", "")).lower()
+    for key, val in TPU_PEAK_TFLOPS.items():
+        if key in kind:
+            return val
+    return 0.0
+
+
+def _compiled_flops(jitted, *args) -> float:
+    """XLA's own HLO cost analysis for one call of a jitted fn (0 if the
+    backend doesn't expose it)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as e:  # relay/backends without cost analysis
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+        return 0.0
+
 NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
 HEIGHT = int(os.environ.get("BENCH_H", "256"))
 WIDTH = int(os.environ.get("BENCH_W", "384"))
@@ -32,8 +64,12 @@ NUM_REF = 4
 
 
 def main():
+    from insv2v_tpu.utils.jax_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
     import jax
     import jax.numpy as jnp
+    print(f"# compilation cache: {cache_dir}", file=sys.stderr)
 
     from insv2v_tpu.diffusion.samplers import sample_video_window, split_windows
     from insv2v_tpu.diffusion.schedules import DiffusionSchedule, make_sampler_tables
@@ -122,12 +158,39 @@ def main():
     p50 = sorted(times)[len(times) // 2]
     print(f"# denoise-chain times: {[f'{t:.2f}' for t in times]} s",
           file=sys.stderr)
+
+    # MFU: XLA-counted FLOPs for the whole denoise chain / wall / peak
+    key = jax.random.PRNGKey(0)
+    cond_all = jax.random.normal(key, (1, NUM_FRAMES, h, w, 4), jnp.float32)
+    k1, _ = jax.random.split(key)
+    init = jax.random.normal(k1, (1, windows[0].num_frames, h, w, 4))
+    fw_flops = _compiled_flops(
+        first_window, params, init, cond_all[:, :windows[0].num_frames],
+        tc, tu, k1)
+    total_flops = fw_flops
+    if len(windows) > 1:
+        spec = windows[1]
+        init_n = jnp.zeros((1, spec.num_frames, h, w, 4))
+        ref = jnp.zeros((1, spec.num_frames, h, w, 4))
+        nw_flops = _compiled_flops(
+            next_window, params, init_n,
+            cond_all[:, spec.start: spec.start + spec.num_frames], tc, tu,
+            k1, ref, jnp.int32(spec.num_ref), jnp.int32(spec.start))
+        total_flops += nw_flops * (len(windows) - 1)
+    peak = _peak_tflops(dev)
+    mfu = (total_flops / best / (peak * 1e12)) if (peak and total_flops) else None
+    if mfu is not None:
+        print(f"# chain flops: {total_flops/1e12:.1f} TF, peak {peak} TF/s, "
+              f"mfu {mfu:.3f}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "edited_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_EST_FPS, 3),
         "p50_edit_latency_s": round(p50, 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "chain_tflops": round(total_flops / 1e12, 1) if total_flops else None,
         "config": f"{NUM_FRAMES}f@{HEIGHT}x{WIDTH},{STEPS}-step DDIM, dual CFG",
     }))
 

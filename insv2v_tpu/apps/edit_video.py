@@ -34,8 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-ref-frames", type=int, default=4)
     p.add_argument("--noise-correct", type=float, default=0.5)
     p.add_argument("--with-optical-flow", action="store_true")
-    p.add_argument("--flow-estimator", default="farneback",
-                   choices=["farneback", "raft", "zero"])
+    p.add_argument("--flow-estimator", default="auto",
+                   choices=["auto", "farneback", "raft", "zero"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--allow-random-weights", action="store_true",
                    help="run without a checkpoint (smoke tests only)")
@@ -102,6 +102,9 @@ def make_editor(config_path: str, ckpt: str | None, scheduler: str,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from insv2v_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from insv2v_tpu.data.datasets import SingleVideoDataset
     from insv2v_tpu.utils.media import concat_videos, save_gif
 

@@ -47,6 +47,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from insv2v_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -129,11 +132,16 @@ def main(argv=None):
     def unet_apply(p, x, t, ctx, sa_share):
         return unet.apply({"params": p}, x, t, ctx, sa_share=sa_share)
 
+    # static phase boundaries are quantized to the step grid (integer step
+    # counts) before jitting, bounding recompiles to the handful of
+    # (sa_steps, ca_steps) grid points instead of one compile per unique
+    # continuous uniform(0.6, 0.85) draw
     sampler = jax.jit(
-        lambda p, lat, cn, co, ckv, cu, rng, gs, sa, ca: sample_ptp_pair(
+        lambda p, lat, cn, co, ckv, cu, rng, gs, sa_steps, ca_steps:
+        sample_ptp_pair(
             unet_apply, p, tables, lat, cn, co, ckv, cu, rng,
-            guidance_scale=gs, sa_end_time=sa, ca_end_time=ca),
-        static_argnames=("sa", "ca"),
+            guidance_scale=gs, sa_steps=sa_steps, ca_steps=ca_steps),
+        static_argnames=("sa_steps", "ca_steps"),
     )
 
     clip_metric = None
@@ -189,7 +197,7 @@ def main(argv=None):
             out = sampler(params["unet"], lat, ctx_new, ctx_old,
                           (jnp.asarray(key_ctx), jnp.asarray(val_ctx)),
                           ctx_un, jax.random.PRNGKey(seed), guidance,
-                          sa_end, ca_end)
+                          int(sa_end * args.steps), int(ca_end * args.steps))
 
             frames = {}
             for tag, latv in (("0", out["latent_old"]), ("1", out["latent"])):

@@ -40,13 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="split the sweep across N independent workers "
                    "(one per chip/host); combine with --shard-index")
     p.add_argument("--shard-index", type=int, default=0)
-    p.add_argument("--flow-estimator", default="farneback",
-                   choices=["farneback", "raft", "zero"])
+    p.add_argument("--flow-estimator", default="auto",
+                   choices=["auto", "farneback", "raft", "zero"])
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from insv2v_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from insv2v_tpu.apps.edit_video import make_editor
     from insv2v_tpu.data.datasets import LoveuTgveVideoDataset
     from insv2v_tpu.utils.media import concat_videos, save_frames, save_gif

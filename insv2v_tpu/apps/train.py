@@ -27,7 +27,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--allow-random-weights", action="store_true")
     p.add_argument("--nnode", type=int, default=1,
-                   help="multi-host: run jax.distributed.initialize first")
+                   help="multi-host: run jax.distributed.initialize first "
+                        "(TPU-pod auto-detection)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(explicit process group, e.g. CPU/GPU clusters)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -69,6 +75,9 @@ def batch_iterator(dataset, batch_size: int, prompt_type: str, tokenizer, rng):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from insv2v_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -83,8 +92,13 @@ def main(argv=None):
     from insv2v_tpu.utils.config import load_config
     from insv2v_tpu.utils.factory import get_dataset, get_models
 
-    if args.nnode > 1:
-        jax.distributed.initialize()
+    from insv2v_tpu.parallel.mesh import init_distributed, make_global_batch
+
+    if args.coordinator or (args.num_processes or 0) > 1:
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+    elif args.nnode > 1:
+        init_distributed()  # TPU pod auto-detection
+    proc0 = jax.process_index() == 0
 
     cfg = load_config(args.config)
     tr = cfg["trainer"]
@@ -150,11 +164,15 @@ def main(argv=None):
     train_ds, _ = get_dataset(cfg)
     tokenizer = get_tokenizer()
     micro = int(tr.get("micro_batch_size", 1))
-    n_dev = len(jax.devices())
-    per_step = tcfg.accumulate_grad_batches * micro * n_dev
-    base_it = batch_iterator(train_ds, per_step,
+    # each process hosts only its local share of the global batch; the
+    # jitted step sees one dp-sharded global array (make_global_batch)
+    n_local = jax.local_device_count()
+    per_step_local = tcfg.accumulate_grad_batches * micro * n_local
+    base_it = batch_iterator(train_ds, per_step_local,
                              tr.get("prompt_type", "edit_prompt"),
-                             tokenizer, np.random.RandomState(args.seed))
+                             tokenizer,
+                             np.random.RandomState(
+                                 args.seed + jax.process_index()))
     from insv2v_tpu.data.native_loader import PrefetchLoader
 
     it = PrefetchLoader(lambda: next(base_it), depth=2)
@@ -180,21 +198,24 @@ def main(argv=None):
 
     while int(state.step) < max_steps:
         t0 = time.perf_counter()
-        batch = next(it)
+        local_batch = next(it)
+        batch = make_global_batch(trainer.mesh, local_batch)
         state, metrics = step_fn(state, batch, rng)
         loss = float(metrics["train_loss"])
         step = int(state.step)
         dt = time.perf_counter() - t0
-        logger.log({"step": step, "train_loss": loss, "step_time_s": dt})
-        print(f"step {step}: loss={loss:.4f} ({dt:.1f}s)")
-        if validate is not None and step % val_every == 0:
+        if proc0:
+            logger.log({"step": step, "train_loss": loss, "step_time_s": dt})
+            print(f"step {step}: loss={loss:.4f} ({dt:.1f}s)")
+        if validate is not None and step % val_every == 0 and proc0:
             n = tcfg.accumulate_grad_batches  # one microbatch worth
-            vb = {k: v[: max(1, v.shape[0] // n)] for k, v in batch.items()}
+            vb = {k: v[: max(1, v.shape[0] // n)]
+                  for k, v in local_batch.items()}
             out = validate(state, vb, jax.random.fold_in(rng, step))
             path = save_preview_grid(vb, np.asarray(out["pred"]),
                                      os.path.join(expt_dir, "previews"), step)
             logger.log({"step": step, "preview": path})
-        if step % ckpt_every == 0 or step >= max_steps:
+        if (step % ckpt_every == 0 or step >= max_steps) and proc0:
             path = save_train_state(state, expt_dir)
             print(f"checkpointed {path}")
 

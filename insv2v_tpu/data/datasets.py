@@ -283,7 +283,8 @@ class LoveuTgveVideoDataset:
             ok, fr = cap.read()
             if not ok:
                 break
-            fr = cv2.resize(fr, self.image_size)
+            # cv2.resize takes dsize=(width, height); image_size is (H, W)
+            fr = cv2.resize(fr, (self.image_size[1], self.image_size[0]))
             fr = cv2.cvtColor(fr, cv2.COLOR_BGR2RGB)
             frames.append(fr)
         fps = cap.get(cv2.CAP_PROP_FPS)

@@ -19,7 +19,7 @@ whole generation jits once per shape.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,14 +42,22 @@ def sample_ptp_pair(
     guidance_scale: float = 9.0,
     sa_end_time: float = 0.3,
     ca_end_time: float = 0.8,
+    sa_steps: Optional[int] = None,
+    ca_steps: Optional[int] = None,
 ) -> dict:
     """unet_apply(params, x, t, context, sa_share) -> eps; latent is the
     shared initial noise (B, F, h, w, C); returns old/new final latents.
+
+    Phase boundaries may be given directly as step counts (``sa_steps``/
+    ``ca_steps``) so callers jitting with static boundaries can quantize
+    continuous draws to the step grid and bound recompiles, instead of
+    paying a full recompile per unique float (fractions are quantized to
+    the same ``int(frac * steps)`` grid either way).
     """
-    assert sa_end_time < ca_end_time
     s = tables.num_steps
-    sa_end = int(sa_end_time * s)
-    ca_end = int(ca_end_time * s)
+    sa_end = int(sa_end_time * s) if sa_steps is None else int(sa_steps)
+    ca_end = int(ca_end_time * s) if ca_steps is None else int(ca_steps)
+    assert sa_end < ca_end <= s, (sa_end, ca_end, s)
     gs = jnp.float32(guidance_scale)
 
     def cfg(e_uncond, e_cond):

@@ -22,6 +22,7 @@ All latents are (B, F, h, w, C) channels-last.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Callable, List, Optional
 
 import jax
@@ -114,6 +115,7 @@ def sample_video_window(
     noise_correct_step: float = 0.0,
     flows: Optional[jnp.ndarray] = None,
     flow_masks: Optional[jnp.ndarray] = None,
+    return_all: bool = False,
 ) -> dict:
     """Denoise one 16-frame window. First window: leave ``latent_ref=None``.
 
@@ -129,7 +131,9 @@ def sample_video_window(
     """
     num_steps = tables.num_steps
     f = latent.shape[1]
-    correct_until = int(noise_correct_step * num_steps)
+    # reference boundary is `noise_correct_step * num_ddim_steps > i`
+    # (inference.py:367), i.e. correction applies while i < ceil(product)
+    correct_until = math.ceil(noise_correct_step * num_steps)
     ref_mask = _frame_mask(f, num_ref_frames)[None, :, None, None, None]
 
     def step(carry, i):
@@ -166,12 +170,20 @@ def sample_video_window(
 
         noise = jax.random.normal(nkey, lat.shape, dtype=jnp.float32)
         lat_next, x0 = sampler_step(tables, lat, eps, i, noise)
-        return (lat_next, key), x0
+        ys = (lat_next, x0) if return_all else x0
+        return (lat_next, key), ys
 
-    (final, _), all_x0 = jax.lax.scan(
+    (final, _), ys = jax.lax.scan(
         step, (latent.astype(jnp.float32), rng), jnp.arange(num_steps)
     )
-    return {"latent": final, "pred_x0": all_x0[-1]}
+    # ``all_latent``/``all_pred`` trajectories mirror the reference pipeline
+    # outputs (inference.py:80-85, 210-218): per-step post-step latents and
+    # x0 predictions, stacked on a leading step axis.
+    if return_all:
+        all_latent, all_x0 = ys
+        return {"latent": final, "pred_x0": all_x0[-1],
+                "all_latent": all_latent, "all_pred": all_x0}
+    return {"latent": final, "pred_x0": ys[-1]}
 
 
 def sample_plain(
@@ -184,6 +196,7 @@ def sample_plain(
     null_embeddings: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     guidance_scale: float = 5.0,
+    return_all: bool = False,
 ) -> dict:
     """The generic single-CFG sampler (Inference.__call__, inference.py:53-99):
     plain text-conditional denoising with optional CFG; ``null_embeddings``
@@ -212,11 +225,16 @@ def sample_plain(
             eps = unet_apply(params, lat, t_b, context, 0).astype(jnp.float32)
         noise = jax.random.normal(nkey, lat.shape, dtype=jnp.float32)
         lat, x0 = sampler_step(tables, lat, eps, i, noise)
-        return (lat, key), x0
+        ys = (lat, x0) if return_all else x0
+        return (lat, key), ys
 
-    (final, _), all_x0 = jax.lax.scan(
+    (final, _), ys = jax.lax.scan(
         step, (latent.astype(jnp.float32), rng), jnp.arange(tables.num_steps))
-    return {"latent": final, "pred_x0": all_x0[-1]}
+    if return_all:  # {all_latent, all_pred} parity with inference.py:80-85
+        all_latent, all_x0 = ys
+        return {"latent": final, "pred_x0": all_x0[-1],
+                "all_latent": all_latent, "all_pred": all_x0}
+    return {"latent": final, "pred_x0": ys[-1]}
 
 
 def sample_edit_ref_image(

@@ -23,7 +23,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
+    "make_global_batch",
     "batch_sharding",
     "replicated",
     "shard_leaf_spec",
@@ -32,6 +34,57 @@ __all__ = [
 ]
 
 DP_AXIS = "dp"
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> bool:
+    """Multi-host launcher — the TPU-native analogue of the reference's
+    ``num_nodes=args.nnode`` Lightning plumbing (main.py:18-19,59).
+
+    Call BEFORE any device use. With explicit args it wires an arbitrary
+    process group (works for multi-process CPU testing with gloo
+    collectives); with none it relies on jax's TPU-pod auto-detection.
+    After this, ``jax.devices()`` is the global device list, so
+    :func:`make_mesh` builds a dp axis spanning hosts and pjit emits
+    cross-host collectives over ICI/DCN automatically.
+
+    Returns True if a multi-process group was initialized.
+    """
+    if coordinator is None and num_processes is None:
+        # TPU pod slice: everything comes from the metadata server
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    if num_processes is not None and num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return True
+
+
+def make_global_batch(mesh: Mesh, batch: Any) -> Any:
+    """Assemble a dp-sharded global batch from this process's local shard.
+
+    Single-process: a plain ``device_put`` with the batch sharding.
+    Multi-process: each host feeds its local slice of the global batch
+    (``jax.make_array_from_process_local_data``), so the jitted step sees
+    one global array without any host gathering the full batch.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch,
+    )
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:

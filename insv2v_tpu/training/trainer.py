@@ -192,22 +192,48 @@ class Trainer:
         split = lambda v: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
         micros = jax.tree_util.tree_map(split, batch)
 
-        grad_fn = jax.value_and_grad(
-            lambda p, m, r: self._microbatch_loss(p, state, m, r))
+        # Differentiate w.r.t. the trainable (motion) leaves ONLY: the
+        # reference optimizes just the 'motion' params
+        # (instruct_p2p_video.py:239-241), so carrying a full-tree f32 grad
+        # accumulator through the scan would waste ~3.4 GB of HBM on frozen
+        # spatial/text weights. The scan carry here is motion-sized, and
+        # the backward pass skips frozen-param weight-grad work entirely.
+        flat, treedef = jax.tree_util.tree_flatten(state.params)
+        mask_flat = jax.tree_util.tree_leaves(
+            motion_param_mask(state.params, cfg.trainable_pattern))
+        train_idx = [i for i, m in enumerate(mask_flat) if m]
+
+        def loss_of(train_leaves, micro, key):
+            leaves = [jax.lax.stop_gradient(p) for p in flat]
+            for i, tl in zip(train_idx, train_leaves):
+                leaves[i] = tl
+            params = jax.tree_util.tree_unflatten(treedef, leaves)
+            return self._microbatch_loss(params, state, micro, key)
+
+        grad_fn = jax.value_and_grad(loss_of)
+        train_leaves = [flat[i] for i in train_idx]
 
         def acc_body(carry, inp):
             g_acc, l_acc = carry
             micro, key = inp
-            loss, g = grad_fn(state.params, micro, key)
-            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            loss, g = grad_fn(train_leaves, micro, key)
+            g_acc = [a + b.astype(jnp.float32) for a, b in zip(g_acc, g)]
             return (g_acc, l_acc + loss), None
 
-        zeros = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        zeros = [jnp.zeros(flat[i].shape, jnp.float32) for i in train_idx]
         keys = jax.random.split(jax.random.fold_in(rng, state.step), accum)
         (g_sum, loss_sum), _ = jax.lax.scan(acc_body, (zeros, 0.0), (micros, keys))
-        grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
         loss = loss_sum / accum
+
+        # expand to a full-tree grads pytree: frozen leaves get broadcast
+        # zeros, which the optimizer's set_to_zero branch ignores and
+        # XLA's simplifier folds out of apply_updates
+        g_iter = iter(g_sum)
+        grads_flat = [
+            (next(g_iter) / accum) if m else jnp.zeros(p.shape, jnp.float32)
+            for p, m in zip(flat, mask_flat)
+        ]
+        grads = jax.tree_util.tree_unflatten(treedef, grads_flat)
 
         updates, new_opt = self._tx.update(grads, state.opt_state, state.params)
         new_opt = constrain_zero_sharding(new_opt, self.mesh)

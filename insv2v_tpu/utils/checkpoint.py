@@ -59,7 +59,17 @@ def load_torch_weights(path: str) -> Dict[str, Any]:
     Lightning 'state_dict' nesting and DeepSpeed prefixes)."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # legacy pickles (e.g. full Lightning checkpoints) need the
+        # unrestricted loader; only fall back for those, with a warning
+        import warnings
+
+        warnings.warn(
+            f"{path}: falling back to torch.load(weights_only=False); "
+            "only load checkpoints from trusted sources")
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     return strip_prefixes(sd)
 
 

@@ -448,3 +448,46 @@ def convert_unet3d_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     sd = strip_prefixes(sd)
     sd = {k: v for k, v in sd.items() if "pos_encoder.pe" not in k}
     return _convert_with_rules(sd, _UNET_RULES)
+
+
+# --- T5 encoder (modules/openclip/modules.py:58-85, HF T5EncoderModel) -----
+
+
+def convert_t5_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF ``T5EncoderModel`` state dict -> our T5TextEncoder params.
+
+    ``encoder.embed_tokens.weight`` is a tied duplicate of ``shared.weight``
+    and is dropped; layer norms are T5 RMSNorms whose single parameter stays
+    named ``weight``.
+    """
+    sd = strip_prefixes(sd)
+    flat: Dict[str, Array] = {}
+    for k, v in sd.items():
+        if k == "encoder.embed_tokens.weight":
+            continue
+        v = _to_numpy(v)
+        if k == "shared.weight":
+            flat["shared/embedding"] = v
+            continue
+        if k.endswith("relative_attention_bias.weight"):
+            flat["relative_attention_bias/embedding"] = v
+            continue
+        if k == "encoder.final_layer_norm.weight":
+            flat["final_layer_norm/weight"] = v
+            continue
+        m = re.match(
+            r"encoder\.block\.(\d+)\.layer\.(\d)\.(.+)$", k)
+        assert m, f"unexpected t5 key {k}"
+        i, sub, rest = m.group(1), m.group(2), m.group(3)
+        prefix = f"block_{i}/"
+        if rest == "layer_norm.weight":
+            flat[prefix + ("ln_attn" if sub == "0" else "ln_ff") + "/weight"] = v
+        elif rest.startswith("SelfAttention."):
+            name = rest.split(".")[1]  # q/k/v/o
+            flat[prefix + f"attn/{name}/kernel"] = v.T
+        elif rest.startswith("DenseReluDense."):
+            name = rest.split(".")[1]  # wi_0/wi_1/wo
+            flat[prefix + f"{name}/kernel"] = v.T
+        else:
+            raise AssertionError(f"unexpected t5 key {k}")
+    return nest(flat)

@@ -93,7 +93,24 @@ class RaftFlow:
         return np.asarray(flow)[0, :h, :w]
 
 
-def get_flow_estimator(kind: str = "farneback", **kwargs):
+def get_flow_estimator(kind: str = "auto", **kwargs):
+    """``auto`` (the default everywhere): RAFT — the reference's motion
+    compensator (flow_utils.py:134-189) — when $INSV2V_RAFT_WEIGHTS (or a
+    ``weights_path`` kwarg) is set, else Farneback with a loud warning
+    that output quality will not match the reference."""
+    if kind == "auto":
+        import os
+
+        if kwargs.get("weights_path") or os.environ.get("INSV2V_RAFT_WEIGHTS"):
+            return RaftFlow(**kwargs)
+        import warnings
+
+        warnings.warn(
+            "INSV2V_RAFT_WEIGHTS is not set: falling back to Farneback "
+            "optical flow. The reference's motion compensation uses RAFT; "
+            "Farneback results will NOT reproduce reference quality. "
+            "Point INSV2V_RAFT_WEIGHTS at a princeton-vl raft-large .pth.")
+        return FarnebackFlow()
     if kind == "farneback":
         return FarnebackFlow(**kwargs)
     if kind == "zero":
