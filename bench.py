@@ -45,7 +45,12 @@ def _peak_tflops(device) -> float:
 
 def _compiled_flops(jitted, *args) -> float:
     """XLA's own HLO cost analysis for one call of a jitted fn (0 if the
-    backend doesn't expose it)."""
+    backend doesn't expose it).
+
+    NOTE: XLA counts a ``lax.scan``/while body ONCE, so never call this on
+    a whole sampler chain — cost a single denoise step and multiply by the
+    step count (the round-1 bench under-reported MFU ~50x this way).
+    """
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -159,29 +164,29 @@ def main():
     print(f"# denoise-chain times: {[f'{t:.2f}' for t in times]} s",
           file=sys.stderr)
 
-    # MFU: XLA-counted FLOPs for the whole denoise chain / wall / peak
-    key = jax.random.PRNGKey(0)
-    cond_all = jax.random.normal(key, (1, NUM_FRAMES, h, w, 4), jnp.float32)
-    k1, _ = jax.random.split(key)
-    init = jax.random.normal(k1, (1, windows[0].num_frames, h, w, 4))
-    fw_flops = _compiled_flops(
-        first_window, params, init, cond_all[:, :windows[0].num_frames],
-        tc, tu, k1)
-    total_flops = fw_flops
-    if len(windows) > 1:
-        spec = windows[1]
-        init_n = jnp.zeros((1, spec.num_frames, h, w, 4))
-        ref = jnp.zeros((1, spec.num_frames, h, w, 4))
-        nw_flops = _compiled_flops(
-            next_window, params, init_n,
-            cond_all[:, spec.start: spec.start + spec.num_frames], tc, tu,
-            k1, ref, jnp.int32(spec.num_ref), jnp.int32(spec.start))
-        total_flops += nw_flops * (len(windows) - 1)
+    # MFU: XLA-counted FLOPs for ONE fused 3xCFG denoise step x (steps x
+    # windows) / wall / peak. Costing the step (not the scanned chain)
+    # sidesteps XLA counting the scan body once. BENCH_MFU=0 skips the
+    # extra compile (ablation probes only need wall time).
+    from insv2v_tpu.diffusion.samplers import dual_cfg_eps
+
+    step_flops = 0.0
+
+    if os.environ.get("BENCH_MFU", "1") != "0":
+        @jax.jit
+        def one_step(p, lat, cond, tcc, tuu):
+            return dual_cfg_eps(unet_apply, p, lat, cond, tables.timesteps[0],
+                                tuu, tcc, 7.5, 1.2, jnp.int32(0))
+
+        lat1 = jnp.zeros((1, WINDOW, h, w, 4), jnp.float32)
+        cond1 = jnp.zeros((1, WINDOW, h, w, 4), jnp.float32)
+        step_flops = _compiled_flops(one_step, params, lat1, cond1, tc, tu)
+    total_flops = step_flops * STEPS * len(windows)
     peak = _peak_tflops(dev)
     mfu = (total_flops / best / (peak * 1e12)) if (peak and total_flops) else None
     if mfu is not None:
-        print(f"# chain flops: {total_flops/1e12:.1f} TF, peak {peak} TF/s, "
-              f"mfu {mfu:.3f}", file=sys.stderr)
+        print(f"# step flops: {step_flops/1e12:.2f} TF x {STEPS * len(windows)}"
+              f" steps, peak {peak} TF/s, mfu {mfu:.3f}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "edited_frames_per_sec_per_chip",

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from insv2v_tpu.ops.attention import dot_attention
+from insv2v_tpu.ops.fused_ff import geglu_ff
 from insv2v_tpu.ops.embeddings import (
     temporal_pe_slice,
     temporal_positional_encoding_table,
@@ -51,6 +52,23 @@ import os as _os
 
 _ABLATE = frozenset(
     x for x in _os.environ.get("INSV2V_ABLATE", "").split(",") if x)
+
+# INSV2V_PACKED_TEMPORAL: 1 forces the block-diagonal packed temporal
+# attention, 0 forces the per-head einsum; default = packed on TPU only
+# (keeps the CPU golden snapshots bit-exact while the TPU path takes the
+# MXU-shaped formulation — see VersatileAttention docstring).
+_PACKED_TEMPORAL = _os.environ.get("INSV2V_PACKED_TEMPORAL", "")
+
+
+def _packed_temporal_attention() -> bool:
+    if _PACKED_TEMPORAL in ("0", "1"):
+        return _PACKED_TEMPORAL == "1"
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,6 +208,67 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
+class _AffineParams(nn.Module):
+    """Param-only LayerNorm affine; same tree as ``LayerNorm(name=...)``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class _DenseParams(nn.Module):
+    """Param-only Dense; same tree/init as ``nn.Dense(name=...)``."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_features, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class _FFParams(nn.Module):
+    """Param-only FeedForward; same tree as ``FeedForward(name=...)``."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        inner = self.dim * self.mult
+        w1, b1 = _DenseParams(self.dim, 2 * inner, name="geglu_proj")()
+        w2, b2 = _DenseParams(inner, self.dim, name="proj_out")()
+        return w1, b1, w2, b2
+
+
+def _ff_residual_block(parent, x, ln_name: str, ablate_key: str):
+    """``x + FeedForward(LN(x))`` via the fused TPU region (ops/fused_ff.py).
+
+    Declares the identical param tree the unfused ``LayerNorm``/
+    ``FeedForward`` modules would (so utils/convert.py is unaffected) and
+    dispatches to the fused Pallas kernel on TPU / plain XLA elsewhere.
+    Assumes ``x.dtype`` is the block's compute dtype (true everywhere in
+    this model: convs and norms preserve dtype).
+    """
+    c = x.shape[-1]
+    ls, lb = _AffineParams(c, name=ln_name, parent=parent)()
+    w1, b1, w2, b2 = _FFParams(c, name="ff", parent=parent)()
+    if ablate_key in _ABLATE:  # profiling only
+        return x
+    if "norms" in _ABLATE:  # profiling only: FF without the LN
+        dt = x.dtype
+        h = jnp.dot(x, w1.astype(dt)) + b1.astype(dt)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+        return x + jnp.dot(h, w2.astype(dt)) + b2.astype(dt)
+    return geglu_ff(x, ls, lb, w1, b1, w2, b2, eps=1e-5)
+
+
 class BasicTransformerBlock(nn.Module):
     """Spatial: self-attn + text cross-attn + GEGLU FF (attention.py:141-270)."""
 
@@ -206,10 +285,7 @@ class BasicTransformerBlock(nn.Module):
             x = x + CrossAttention(self.heads, self.head_dim, dtype=self.dtype,
                                    use_flash=False, name="attn2")(
                 LayerNorm(name="norm2")(x), context)
-        if "ff" not in _ABLATE:
-            x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
-                LayerNorm(name="norm3")(x))
-        return x
+        return _ff_residual_block(self, x, "norm3", "ff")
 
 
 class Transformer3DModel(nn.Module):
@@ -245,12 +321,18 @@ class Transformer3DModel(nn.Module):
 class VersatileAttention(nn.Module):
     """Temporal self-attention with sinusoidal PE (motion_module.py:245-336).
 
-    Operates on (B, F, P, C) — frame axis attended, pixels stay in place.
-    The reference folds pixels into batch ((b d) f c); on TPU that
-    transpose shuffles the whole activation through HBM twice per block,
-    and ablation showed the motion modules dominating step time — the
-    direct einsum formulation below attends over F with zero transposes
-    (math identical; see test_unet3d.py parity).
+    Operates on (B, F, P, C) — frame axis attended, pixels stay in place
+    (the reference folds pixels into batch, ``(b d) f c``).
+
+    The per-(pixel, head) attention matrices are only F x F (<=16x16) —
+    as a batched matmul that uses ~1.5% of the 128x128 MXU and was
+    measured at 26% of UNet step time. On TPU the heads and frames are
+    packed into ONE m = heads*F axis (= 128 for the production 8h/16f
+    shape) and attention runs as a single block-diagonal batched matmul
+    per pixel with a constant -inf mask on the cross-head blocks: 8x the
+    arithmetic, but MXU-shaped, ~10x faster end-to-end. Masked softmax
+    over m is mathematically identical to per-head softmax over F (each
+    row's finite entries are exactly its own head's F logits).
     """
 
     heads: int
@@ -269,15 +351,37 @@ class VersatileAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        split = lambda t: t.reshape(b, f, p, self.heads, self.head_dim)
-        qh, kh, vh = split(q), split(k), split(v)
-        logits = jnp.einsum("bfphe,bgphe->bphfg", qh, kh,
-                            preferred_element_type=jnp.float32)
-        logits = logits * jnp.float32(self.head_dim ** -0.5)
-        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        o = jnp.einsum("bphfg,bgphe->bfphe", probs, vh,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
-        o = o.reshape(b, f, p, inner)
+        if "motion_mix" in _ABLATE:  # profiling only: keep projections,
+            o = v                    # skip the F x F attention einsums
+            return nn.Dense(c, dtype=self.dtype, name="to_out")(o)
+        scale = jnp.float32(self.head_dim ** -0.5)
+        if _packed_temporal_attention():
+            m = self.heads * f
+            pack = lambda t: t.reshape(b, f, p, self.heads, self.head_dim
+                                       ).transpose(0, 2, 3, 1, 4
+                                       ).reshape(b, p, m, self.head_dim)
+            qh, kh, vh = pack(q), pack(k), pack(v)
+            head_id = jnp.arange(m) // f
+            mask = jnp.where(head_id[:, None] == head_id[None, :], 0.0,
+                             -jnp.inf).astype(jnp.float32)
+            logits = jnp.einsum("bpme,bpne->bpmn", qh, kh,
+                                preferred_element_type=jnp.float32)
+            logits = logits * scale + mask
+            probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            o = jnp.einsum("bpmn,bpne->bpme", probs, vh,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+            o = o.reshape(b, p, self.heads, f, self.head_dim
+                          ).transpose(0, 3, 1, 2, 4).reshape(b, f, p, inner)
+        else:
+            split = lambda t: t.reshape(b, f, p, self.heads, self.head_dim)
+            qh, kh, vh = split(q), split(k), split(v)
+            logits = jnp.einsum("bfphe,bgphe->bphfg", qh, kh,
+                                preferred_element_type=jnp.float32)
+            logits = logits * scale
+            probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            o = jnp.einsum("bphfg,bgphe->bfphe", probs, vh,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+            o = o.reshape(b, f, p, inner)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(o)
 
 
@@ -294,14 +398,14 @@ class TemporalTransformerBlock(nn.Module):
     def __call__(self, x, video_start_index):
         for i, block_type in enumerate(self.attention_block_types):
             assert block_type == "Temporal_Self", block_type
+            if "motion_attn" in _ABLATE:  # profiling only
+                continue
             h = LayerNorm(name=f"norms_{i}")(x)
             x = x + VersatileAttention(
                 self.heads, self.head_dim, max_len=self.max_len,
                 dtype=self.dtype, name=f"attention_blocks_{i}",
             )(h, video_start_index)
-        x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
-            LayerNorm(name="ff_norm")(x))
-        return x
+        return _ff_residual_block(self, x, "ff_norm", "motion_ff")
 
 
 class MotionModule(nn.Module):

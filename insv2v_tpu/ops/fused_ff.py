@@ -1,0 +1,210 @@
+"""Fused LayerNorm + GEGLU feed-forward + residual as one Pallas kernel.
+
+The transformer FF block — ``x + proj_out(h * gelu(gate))`` with
+``[h | gate] = geglu_proj(LN(x))`` (diffusers ``FeedForward``; reference
+modules/video_unet_temporal/attention.py:268-270 and
+motion_module.py:208-216) — is a top HBM-traffic region of the UNet:
+XLA materializes the 8C-wide GEGLU intermediate to HBM twice (write +
+read) plus separate LN and residual passes. This kernel keeps everything
+in VMEM:
+
+  * grid (row-block i, inner-block j), j fastest;
+  * at j==0 the LN of the row block is computed once into scratch and the
+    f32 accumulator starts from the residual + output bias;
+  * each j computes a ``blk_n`` column slice of both GEGLU halves
+    (addressed as two views of the same weight array via block index
+    maps — no pre-split copy), gates them, and accumulates the second
+    matmul's partial product — the 8C intermediate never exists in HBM;
+  * weights stream block-by-block, so C=1280 (39 MB of FF weights) works
+    within the ~16 MB VMEM budget.
+
+Backward recomputes with the plain-XLA path (same trade as the flash
+attention kernel in ops/attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # importable on CPU builds too; guard anyway
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+__all__ = ["geglu_ff_reference", "fused_geglu_ff", "geglu_ff"]
+
+
+def geglu_ff_reference(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                       *, eps: float = 1e-5):
+    """Plain-XLA LN + GEGLU FF + residual; the kernel's numerics oracle.
+
+    Mirrors LayerNorm(...) -> Dense(2*inner) -> split -> h*gelu(gate) ->
+    Dense(dim) -> +x exactly as composed in models/unet3d.py.
+    """
+    from insv2v_tpu.ops.norms import layer_norm
+
+    dt = x.dtype
+    xn = layer_norm(x, ln_scale, ln_bias, eps)
+    h = jnp.dot(xn, w1.astype(dt)) + b1.astype(dt)
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * jax.nn.gelu(gate, approximate=False)
+    out = jnp.dot(h, w2.astype(dt)) + b2.astype(dt)
+    return x + out
+
+
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 rational erf, |err| <= 1.5e-7 (well below
+    bf16 resolution). Mosaic has no erf/erfc lowering in this jax version."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _ff_kernel(x_ref, s_ref, b_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref,
+               w2_ref, b2_ref, o_ref, xn_ref, acc_ref, *, eps: float, nj: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        xf = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * s_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+        xn_ref[:] = xn.astype(xn_ref.dtype)
+        # residual + final bias seed the accumulator
+        acc_ref[:] = xf + b2_ref[:].astype(jnp.float32)
+
+    xn = xn_ref[:]
+    h = jnp.dot(xn, w1h_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1h_ref[:].astype(jnp.float32)
+    g = jnp.dot(xn, w1g_ref[:], preferred_element_type=jnp.float32)
+    g = g + b1g_ref[:].astype(jnp.float32)
+    # exact gelu via erf (jax.nn.gelu's erfc path has no Mosaic lowering)
+    gelu_g = 0.5 * g * (1.0 + _erf_approx(g * (2.0 ** -0.5)))
+    gated = (h * gelu_g).astype(w2_ref.dtype)
+    acc_ref[:] += jnp.dot(gated, w2_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def fused_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                   *, eps: float = 1e-5,
+                   blk_m: int = 512, blk_n: int = 256,
+                   interpret: bool = False):
+    """x: (..., C); w1/b1: (C, 2*inner)/(2*inner,); w2/b2: (inner, C)/(C,).
+
+    Returns ``x + FF(LN(x))`` with the same math as the XLA reference.
+    """
+    orig_shape = x.shape
+    c = x.shape[-1]
+    inner = w2.shape[0]
+    assert w1.shape == (c, 2 * inner), (w1.shape, c, inner)
+    blk_n = min(blk_n, inner)
+    while inner % blk_n:  # inner is 4*C; all model widths divide cleanly
+        blk_n //= 2
+    blk_m = min(blk_m, _round_up(max(int(x.size // c), 1), 8))
+
+    rows = 1
+    for s in orig_shape[:-1]:
+        rows *= s
+    x2 = x.reshape(rows, c)
+    rows_p = _round_up(rows, blk_m)
+    if rows_p != rows:
+        x2 = jnp.pad(x2, ((0, rows_p - rows), (0, 0)))
+
+    dt = x.dtype
+    # match dtypes so the MXU runs its native bf16 path (no-op when the
+    # params are already served in the compute dtype)
+    w1 = w1 if w1.dtype == dt else w1.astype(dt)
+    w2 = w2 if w2.dtype == dt else w2.astype(dt)
+    b1r = b1.reshape(1, 2 * inner).astype(dt)
+    b2r = b2.reshape(1, c).astype(dt)
+    sc = ln_scale.reshape(1, c)
+    bc = ln_bias.reshape(1, c)
+
+    nj = inner // blk_n
+    if not interpret:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except RuntimeError:  # pragma: no cover
+            interpret = True
+    kernel = functools.partial(_ff_kernel, eps=eps, nj=nj)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows_p // blk_m, nj),
+        in_specs=[
+            pl.BlockSpec((blk_m, c), lambda i, j: (i, 0)),        # x rows
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),            # ln scale
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),            # ln bias
+            # two views of the same GEGLU weight: h half then gate half
+            pl.BlockSpec((c, blk_n), lambda i, j, _nj=nj: (0, j)),
+            pl.BlockSpec((1, blk_n), lambda i, j, _nj=nj: (0, j)),
+            pl.BlockSpec((c, blk_n), lambda i, j, _nj=nj: (0, _nj + j)),
+            pl.BlockSpec((1, blk_n), lambda i, j, _nj=nj: (0, _nj + j)),
+            pl.BlockSpec((blk_n, c), lambda i, j: (j, 0)),        # w2
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),            # b2
+        ],
+        out_specs=pl.BlockSpec((blk_m, c), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows_p, c), dt),
+        scratch_shapes=[
+            # LN output, reused across all inner blocks of a row block
+            pltpu.VMEM((blk_m, c), dt),
+            pltpu.VMEM((blk_m, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2, sc, bc, w1, b1r, w1, b1r, w2, b2r)
+    return out[:rows].reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _ff_with_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    return fused_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
+
+
+def _ff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    out = fused_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _ff_bwd(eps, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: geglu_ff_reference(*a, eps=eps),
+        x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return vjp(g)
+
+
+_ff_with_vjp.defvjp(_ff_fwd, _ff_bwd)
+
+_FUSED_FF = _os.environ.get("INSV2V_FUSED_FF", "1") != "0"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps: float = 1e-5):
+    """Auto-dispatching LN+GEGLU-FF+residual: Pallas on TPU, XLA elsewhere."""
+    if _FUSED_FF and _on_tpu():
+        return _ff_with_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+    return geglu_ff_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
