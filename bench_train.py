@@ -1,0 +1,139 @@
+"""Full-size training-step benchmark on real hardware (VERDICT r1 #2).
+
+Runs the production train step — 0.86B-param UNet3D (bf16 compute, f32
+params), frozen VAE+CLIP encodes inside the step, motion-only
+grad/adam8bit, remat on all blocks, grad accumulation as a lax.scan —
+at the reference's shape (micro-batch 1, 16 frames @ 256x256,
+configs/instruct_v2v.yaml:3-12) and records step time + per-microbatch
+time + peak HBM into BENCH_TRAIN.json (and one json line on stdout).
+
+TRAIN_ACCUM scales the in-step accumulation count (default 4: enough to
+amortize and extrapolate to the reference's 256 without a 10-minute
+measurement); reported per-microbatch time is accum-independent.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def main():
+    from insv2v_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    frames = int(os.environ.get("TRAIN_FRAMES", "16"))
+    size = int(os.environ.get("TRAIN_SIZE", "256"))
+    accum = int(os.environ.get("TRAIN_ACCUM", "4"))
+
+    from insv2v_tpu.training.trainer import Trainer, TrainConfig
+    from insv2v_tpu.utils.config import load_config
+    from insv2v_tpu.utils.factory import get_models
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr)
+
+    cfg = load_config("configs/instruct_v2v.yaml")
+    models = get_models(cfg, dtype=jnp.bfloat16)
+    unet, vae, text = models["unet"], models["vae"], models["text_model"]
+    unet = dataclasses.replace(unet, cfg=dataclasses.replace(unet.cfg, remat=True))
+
+    tcfg = TrainConfig(
+        optimizer="adam8bit",
+        accumulate_grad_batches=accum,
+        loss_type=str(cfg["trainer"].get("loss_fn", "l2")),
+        lr=float(cfg["trainer"].get("lr", 1e-5)),
+    )
+    trainer = Trainer(unet, vae, text, tcfg)
+
+    # step time is weight-independent: constant params skip the ~25s
+    # full-size random init through the relay
+    rng = jax.random.PRNGKey(0)
+    lat = size // 8
+    t0 = time.perf_counter()
+    shapes = {
+        "unet": jax.eval_shape(
+            lambda k: unet.init(k, jnp.zeros((1, 2, lat, lat, 8), jnp.bfloat16),
+                                jnp.zeros((1,), jnp.int32),
+                                jnp.zeros((1, 77, 768), jnp.bfloat16)), rng),
+        "vae": jax.eval_shape(
+            lambda k: vae.init(k, jnp.zeros((1, 32, 32, 3), jnp.bfloat16),
+                               jax.random.PRNGKey(1)), rng),
+        "text": jax.eval_shape(
+            lambda k: text.init(k, jnp.zeros((1, 77), jnp.int32)), rng),
+    }
+    const = lambda tree: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.02, s.dtype), tree)
+    unet_p = const(shapes["unet"])["params"]
+    vae_p = const(shapes["vae"])["params"]
+    text_p = const(shapes["text"])["params"]
+    n_params = sum(int(np.prod(s.shape))
+                   for s in jax.tree_util.tree_leaves(shapes["unet"]))
+    print(f"# unet params: {n_params/1e9:.3f}B, materialized in "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    state = trainer.create_state(unet_p, vae_p, text_p)
+    state = trainer.place_state(state)
+    step_fn = trainer.jitted_step(state)
+
+    def make_batch(seed):
+        k = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(k)
+        shape = (accum, frames, size, size, 3)
+        return {
+            "input_video": jax.random.uniform(k1, shape, jnp.float32, -1, 1),
+            "edited_video": jax.random.uniform(k2, shape, jnp.float32, -1, 1),
+            "prompt_ids": jnp.ones((accum, 77), jnp.int32),
+        }
+
+    t_c = time.perf_counter()
+    state, metrics = step_fn(state, make_batch(0), rng)
+    jax.block_until_ready(metrics)
+    print(f"# compile+warmup: {time.perf_counter()-t_c:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(int(os.environ.get("TRAIN_REPS", "2"))):
+        batch = make_batch(i + 1)
+        jax.block_until_ready(batch)
+        t_s = time.perf_counter()
+        state, metrics = step_fn(state, batch, rng)
+        jax.block_until_ready(metrics)
+        times.append(time.perf_counter() - t_s)
+    best = min(times)
+    loss = float(metrics["train_loss"])
+
+    peak_hbm_gb = None
+    try:
+        stats = dev.memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            peak_hbm_gb = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception as e:
+        print(f"# memory_stats unavailable: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "train_microbatch_time_s",
+        "value": round(best / accum, 3),
+        "unit": "s/microbatch (1 video pair, 16f@256)",
+        "step_time_s": round(best, 2),
+        "accum": accum,
+        "extrapolated_accum256_step_s": round(best / accum * 256, 1),
+        "peak_hbm_gb": peak_hbm_gb,
+        "unet_params_b": round(n_params / 1e9, 3),
+        "loss_finite": bool(np.isfinite(loss)),
+        "optimizer": "adam8bit (int8 blockwise)",
+        "remat": True,
+        "config": f"micro=1x{frames}f@{size}, motion-only grads, bf16/f32",
+    }
+    with open("BENCH_TRAIN.json", "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,34 @@ def get_editor(args):
     return _EDITOR
 
 
+def run_edit(args, video_path, prompt, text_cfg=7.5, video_cfg=1.2,
+             noise_correct=0.5, motion_comp=True, seed=0, out_path=None):
+    """The demo's edit handler, UI-free (so it is exercisable headless:
+    gradio itself is not installed in this image). Returns the gif path
+    with the original|edited side-by-side, as the web UI would display."""
+    from insv2v_tpu.data.datasets import SingleVideoDataset
+    from insv2v_tpu.utils.media import concat_videos, save_gif
+
+    ds = SingleVideoDataset(video_path, sampling_fps=8,
+                            num_frames=args.num_frames,
+                            output_size=(args.image_size, args.image_size))
+    frames = ds[0]["frames"]
+    editor = get_editor(args)
+    flow_est = None
+    if motion_comp:
+        from insv2v_tpu.utils.flow import get_flow_estimator
+
+        flow_est = get_flow_estimator("raft")  # falls back loudly w/o weights
+    edited = editor(frames, prompt, text_cfg=text_cfg, video_cfg=video_cfg,
+                    noise_correct_step=noise_correct,
+                    use_motion_compensation=motion_comp,
+                    flow_estimator=flow_est, seed=int(seed))
+    if out_path is None:
+        out_path = tempfile.NamedTemporaryFile(suffix=".gif", delete=False).name
+    save_gif(concat_videos([frames, edited]), out_path)
+    return out_path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="configs/instruct_v2v.yaml")
@@ -52,22 +80,10 @@ def main(argv=None):
         sys.exit("gradio is not installed in this image; use "
                  "`python -m insv2v_tpu.apps.edit_video` for the CLI flow")
 
-    from insv2v_tpu.data.datasets import SingleVideoDataset
-    from insv2v_tpu.utils.media import concat_videos, save_gif
-
     def edit(video_path, prompt, text_cfg, video_cfg, noise_correct,
              motion_comp, seed):
-        ds = SingleVideoDataset(video_path, sampling_fps=8,
-                                num_frames=args.num_frames,
-                                output_size=(args.image_size, args.image_size))
-        frames = ds[0]["frames"]
-        editor = get_editor(args)
-        edited = editor(frames, prompt, text_cfg=text_cfg, video_cfg=video_cfg,
-                        noise_correct_step=noise_correct,
-                        use_motion_compensation=motion_comp, seed=int(seed))
-        out = tempfile.NamedTemporaryFile(suffix=".gif", delete=False).name
-        save_gif(concat_videos([frames, edited]), out)
-        return out
+        return run_edit(args, video_path, prompt, text_cfg, video_cfg,
+                        noise_correct, motion_comp, seed)
 
     demo = gr.Interface(
         fn=edit,

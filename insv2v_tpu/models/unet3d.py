@@ -33,7 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from insv2v_tpu.ops.attention import dot_attention
+from insv2v_tpu.ops.attention import dot_attention_bshd
 from insv2v_tpu.ops.fused_ff import geglu_ff
 from insv2v_tpu.ops.embeddings import (
     temporal_pe_slice,
@@ -183,12 +183,7 @@ class CrossAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
-        b, sq, _ = q.shape
-        sk = k.shape[1]
-        split = lambda t, s: t.reshape(b, s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        o = dot_attention(split(q, sq), split(k, sk), split(v, sk),
-                          use_flash=self.use_flash)
-        o = o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+        o = dot_attention_bshd(q, k, v, self.heads, use_flash=self.use_flash)
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(o)
 
 

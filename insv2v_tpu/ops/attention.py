@@ -214,3 +214,33 @@ def dot_attention(
     if use_flash:
         return _flash_with_vjp(q, k, v, scale)
     return attention(q, k, v, scale=scale)
+
+
+def dot_attention_bshd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention on the raw (B, S, heads*d) projection layout.
+
+    On TPU with long sequences this dispatches to ``flash_attention_bshd``
+    (per-head lane slicing in the kernel — zero relayout); otherwise it
+    reshapes once and uses the fused-XLA path.
+    """
+    d = q.shape[-1] // heads
+    scale = 1.0 / math.sqrt(d)
+    if use_flash is None:
+        use_flash = (
+            not _FLASH_DISABLED
+            and _on_tpu()
+            and q.shape[1] >= _FLASH_MIN_SEQ
+            and k.shape[1] >= _FLASH_MIN_SEQ
+        )
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    split = lambda t, s: t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    o = dot_attention(split(q, sq), split(k, sk), split(v, sk), scale=scale,
+                      use_flash=use_flash)
+    return o.transpose(0, 2, 1, 3).reshape(b, sq, c)

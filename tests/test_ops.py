@@ -222,3 +222,26 @@ class TestFusedLayerNorm:
                                interpret=True)
         ref = layer_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_dot_attention_bshd_matches_composition():
+    """dot_attention_bshd on the raw (B, S, heads*d) projection layout vs
+    the explicit split -> attention -> merge composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from insv2v_tpu.ops.attention import attention, dot_attention_bshd
+
+    b, s, heads, d = 2, 64, 4, 8
+    c = heads * d
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, s, c))
+    k = jax.random.normal(ks[1], (b, s, c))
+    v = jax.random.normal(ks[2], (b, s, c))
+    split = lambda t: t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    ref = attention(split(q), split(k), split(v))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, c)
+    out = dot_attention_bshd(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
