@@ -45,7 +45,7 @@ def main():
     unet = dataclasses.replace(unet, cfg=dataclasses.replace(unet.cfg, remat=True))
 
     tcfg = TrainConfig(
-        optimizer="adam8bit",
+        optimizer=os.environ.get("TRAIN_OPT", "adam8bit"),
         accumulate_grad_batches=accum,
         loss_type=str(cfg["trainer"].get("loss_fn", "l2")),
         lr=float(cfg["trainer"].get("lr", 1e-5)),
@@ -68,11 +68,22 @@ def main():
         "text": jax.eval_shape(
             lambda k: text.init(k, jnp.zeros((1, 77), jnp.int32)), rng),
     }
-    const = lambda tree: jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.02, s.dtype), tree)
-    unet_p = const(shapes["unet"])["params"]
-    vae_p = const(shapes["vae"])["params"]
-    text_p = const(shapes["text"])["params"]
+    const = lambda tree, dt=None: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.02, dt or s.dtype), tree)
+    # Frozen weights live in bf16: they are consumed in bf16 by every
+    # matmul anyway and are never updated, so an f32 master copy is pure
+    # HBM waste (~3.8 GB at this scale — the difference between fitting
+    # and faulting on a 16 GB v5e). Trainable motion leaves stay f32.
+    from insv2v_tpu.training.trainer import motion_param_mask
+
+    unet_shapes = shapes["unet"]["params"]
+    mask = motion_param_mask(unet_shapes)
+    unet_p = jax.tree_util.tree_map(
+        lambda s, m: jnp.full(s.shape, 0.02,
+                              s.dtype if m else jnp.bfloat16),
+        unet_shapes, mask)
+    vae_p = const(shapes["vae"], jnp.bfloat16)["params"]
+    text_p = const(shapes["text"], jnp.bfloat16)["params"]
     n_params = sum(int(np.prod(s.shape))
                    for s in jax.tree_util.tree_leaves(shapes["unet"]))
     print(f"# unet params: {n_params/1e9:.3f}B, materialized in "
@@ -126,7 +137,7 @@ def main():
         "peak_hbm_gb": peak_hbm_gb,
         "unet_params_b": round(n_params / 1e9, 3),
         "loss_finite": bool(np.isfinite(loss)),
-        "optimizer": "adam8bit (int8 blockwise)",
+        "optimizer": tcfg.optimizer,
         "remat": True,
         "config": f"micro=1x{frames}f@{size}, motion-only grads, bf16/f32",
     }

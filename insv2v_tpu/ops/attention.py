@@ -181,10 +181,11 @@ import os as _os
 
 _FLASH_MIN_SEQ = int(_os.environ.get("INSV2V_FLASH_MIN_SEQ", "512"))
 _FLASH_DISABLED = _os.environ.get("INSV2V_FLASH", "1") == "0"
-# defaults from v5e A/B on the 256x384 editing workload (blk 512/768 beat
-# both 256/512 and the fused-XLA path)
-_FLASH_BLK_Q = int(_os.environ.get("INSV2V_FLASH_BLKQ", "512"))
-_FLASH_BLK_K = int(_os.environ.get("INSV2V_FLASH_BLKK", "768"))
+# defaults from v5e A/B on the 256x384 editing workload (r2: 768/1536 beat
+# 512/768 by 3.5% end-to-end and the fused-XLA path by 10%; k/v fully
+# resident for the level-0 S=1536 spatial attention)
+_FLASH_BLK_Q = int(_os.environ.get("INSV2V_FLASH_BLKQ", "768"))
+_FLASH_BLK_K = int(_os.environ.get("INSV2V_FLASH_BLKK", "1536"))
 
 
 def _on_tpu() -> bool:

@@ -22,34 +22,46 @@ __all__ = ["adam8bit", "quantize_blockwise", "dequantize_blockwise"]
 BLOCK = 256
 
 
-import numpy as _np
-
-# bnb-style dynamic code tables: log-spaced magnitudes give ~3% relative
+# bnb-style dynamic log codes: log-spaced magnitudes give ~3.6% relative
 # resolution across 4+ decades — linear absmax codes would zero out the
 # small entries of the second moment and blow up 1/sqrt(v).
-_SIGNED_TABLE = jnp.asarray(
-    _np.concatenate([[0.0], _np.exp(_np.linspace(_np.log(1e-4), 0.0, 127))])
-    .astype(_np.float32))  # magnitudes for |code| in [0..127]
-_UNSIGNED_TABLE = jnp.asarray(
-    _np.concatenate([[0.0], _np.exp(_np.linspace(_np.log(1e-8), 0.0, 255))])
-    .astype(_np.float32))  # values for code in [0..255]
+#
+# The code<->value maps are CLOSED-FORM (code i in [1..N] represents
+# exp(ln_min + (i-1) * (-ln_min) / (N-1)), code 0 is exactly 0), so both
+# quantize and dequantize are pure elementwise exp/log — no searchsorted
+# and no table gathers. The gather-based r1 formulation compiled but
+# FAULTED the v5e at full production scale (520-leaf optimizer program;
+# plain adam ran fine) and the elementwise form is faster anyway.
+_S_LNMIN = float(jnp.log(1e-4))   # signed: 127 magnitude codes
+_S_STEP = -_S_LNMIN / 126.0
+_U_LNMIN = float(jnp.log(1e-8))   # unsigned: 255 codes
+_U_STEP = -_U_LNMIN / 254.0
 
 
-def _nearest_code(y: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    """Index of the nearest table entry (table sorted ascending)."""
-    idx = jnp.searchsorted(table, y)
-    idx = jnp.clip(idx, 1, table.shape[0] - 1)
-    left = table[idx - 1]
-    right = table[idx]
-    return jnp.where(y - left <= right - y, idx - 1, idx)
+def _log_code(y: jnp.ndarray, ln_min: float, step: float, top: int
+              ) -> jnp.ndarray:
+    """Nearest-in-log-space code index for y in [0, 1]; 0 below half the
+    smallest representable magnitude (matching nearest-to-zero)."""
+    cutoff = 0.5 * jnp.exp(ln_min)
+    safe = jnp.maximum(y, cutoff)
+    idx = jnp.round(1.0 + (jnp.log(safe) - ln_min) / step)
+    idx = jnp.clip(idx, 1, top)
+    return jnp.where(y < cutoff, 0, idx.astype(jnp.int32))
+
+
+def _log_value(idx: jnp.ndarray, ln_min: float, step: float) -> jnp.ndarray:
+    i = idx.astype(jnp.float32)
+    val = jnp.exp(ln_min + (i - 1.0) * step)
+    return jnp.where(idx == 0, 0.0, val)
 
 
 def quantize_blockwise(x: jnp.ndarray, signed: bool = True
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """f32 array -> (int8/uint8 codes, f32 per-block absmax scales).
+    """f32 array -> (int8 codes, f32 per-block absmax scales).
 
     signed=True: sign + 7-bit log-magnitude code (Adam m).
-    signed=False: 8-bit log code for non-negative values (Adam v).
+    signed=False: 8-bit log code for non-negative values (Adam v),
+    stored biased by -128 to fit int8.
     """
     flat = x.reshape(-1)
     n = flat.shape[0]
@@ -60,10 +72,10 @@ def quantize_blockwise(x: jnp.ndarray, signed: bool = True
     scale = jnp.where(absmax > 0, absmax, 1.0).astype(jnp.float32)
     y = blocks / scale
     if signed:
-        mag = _nearest_code(jnp.abs(y), _SIGNED_TABLE)
-        codes = (jnp.sign(y) * mag).astype(jnp.int8)
+        mag = _log_code(jnp.abs(y), _S_LNMIN, _S_STEP, 127)
+        codes = (jnp.sign(y) * mag.astype(jnp.float32)).astype(jnp.int8)
     else:
-        codes = _nearest_code(jnp.maximum(y, 0.0), _UNSIGNED_TABLE)
+        codes = _log_code(jnp.maximum(y, 0.0), _U_LNMIN, _U_STEP, 255)
         codes = (codes - 128).astype(jnp.int8)  # store biased in int8
     return codes, scale
 
@@ -76,9 +88,10 @@ def dequantize_blockwise(codes: jnp.ndarray, scale: jnp.ndarray,
         n *= s
     c = codes.astype(jnp.int32)
     if signed:
-        vals = jnp.sign(c) * _SIGNED_TABLE[jnp.abs(c)]
+        vals = jnp.sign(c).astype(jnp.float32) * _log_value(
+            jnp.abs(c), _S_LNMIN, _S_STEP)
     else:
-        vals = _UNSIGNED_TABLE[c + 128]
+        vals = _log_value(c + 128, _U_LNMIN, _U_STEP)
     flat = (vals * scale).reshape(-1)[:n]
     return flat.reshape(shape)
 
