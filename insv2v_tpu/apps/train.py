@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frozen-f32", action="store_true",
+                   help="keep frozen (non-motion) weights in f32 instead of "
+                        "the default bf16 storage (more HBM, no quality "
+                        "benefit: they are consumed in bf16 either way)")
     return p
 
 
@@ -149,6 +153,18 @@ def main(argv=None):
                     "beta_end")},
     )
     trainer = Trainer(unet, vae, text, tcfg)
+    if not args.frozen_f32:
+        # frozen weights in bf16 (trainable motion stays f32) — the
+        # production memory layout; see trainer.cast_frozen_to_bf16
+        from insv2v_tpu.training.trainer import cast_frozen_to_bf16
+
+        params["unet"] = cast_frozen_to_bf16(params["unet"],
+                                             tcfg.trainable_pattern)
+        cast16 = lambda t: jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
+        params["vae"] = cast16(params["vae"])
+        params["text"] = cast16(params["text"])
     state = trainer.create_state(params["unet"], params["vae"], params["text"])
     if args.ckpt or args.resume:
         try:

@@ -51,8 +51,9 @@ def test_headline_case_covers_all_frames_once():
     # 32 frames, 16-window, 4 refs: the benchmark shape
     ws = split_windows(32, 16, 4)
     assert [(w.start, w.num_frames, w.num_ref) for w in ws] == [
-        (0, 16, 0), (12, 16, 4), (20, 16, 12)]
+        (0, 16, 0), (12, 16, 4), (16, 16, 12)]
     covered = []
     for w in ws:
         covered.extend(range(w.start + w.num_ref, w.start + w.num_frames))
-    assert covered == list(range(16, 32)) and ws[0].num_frames == 16
+    # every frame is produced as a "new" frame exactly once
+    assert covered == list(range(32)) and ws[0].num_frames == 16
