@@ -26,6 +26,71 @@ import jax.numpy as jnp
 __all__ = ["group_norm", "layer_norm"]
 
 
+import os as _os0
+
+_GN_MATMUL_STATS = _os0.environ.get("INSV2V_GN_MATMUL_STATS", "1") != "0"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _group_norm_matmul_stats(x, scale, bias, num_groups, eps, reduce_axes):
+    """GN with sums computed as an MXU ones-contraction.
+
+    The straightforward convert+reduce formulation let XLA pick a hostile
+    layout on TPU ({3,0,2,1} on the (48,H,W,C) activations) and ran the
+    stats passes 30-50x slower than HBM bandwidth — 17.5% of UNet step
+    time in the device trace. Contracting with a ones-vector instead
+    keeps the reduction on the MXU with native bf16->f32 accumulation and
+    no f32 materialization of x. Variance comes from the (sum, sum-of-
+    squares) moments — f32 accumulators, same policy torch's CUDA GN
+    kernel uses; x**2 is taken in the input dtype (bf16 on TPU), which is
+    within bf16 output resolution of the two-pass CPU formulation.
+
+    Requires reduce_axes to be the contiguous run of axes between the
+    kept leading axes and the channel axis (true for every use in this
+    model); falls back to the exact path otherwise.
+    """
+    nd = x.ndim
+    reduce_axes = tuple(reduce_axes)
+    first = min(reduce_axes)
+    if reduce_axes != tuple(range(first, nd - 1)):
+        return None
+    lead = x.shape[:first]
+    R = 1
+    for s in lead:
+        R *= s
+    K = 1
+    for a in reduce_axes:
+        K *= x.shape[a]
+    C = x.shape[-1]
+    gs = C // num_groups
+    x2 = x.reshape(R, K, C)
+    ones = jnp.ones((K,), x.dtype)
+    s1 = jnp.einsum("rkc,k->rc", x2, ones,
+                    preferred_element_type=jnp.float32)
+    s2 = jnp.einsum("rkc,k->rc", x2 * x2, ones,
+                    preferred_element_type=jnp.float32)
+    n = K * gs
+    s1g = jnp.sum(s1.reshape(R, num_groups, gs), axis=-1)
+    s2g = jnp.sum(s2.reshape(R, num_groups, gs), axis=-1)
+    mean = s1g / n
+    var = jnp.maximum(s2g / n - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    # per-(row, channel) affine: y = x * a + b, fused into consumers
+    expand = lambda t: jnp.repeat(t, gs, axis=-1)  # (R, G) -> (R, C)
+    a = expand(rstd) * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - expand(mean * rstd) * scale.astype(
+        jnp.float32)[None, :]
+    bshape = lead + (1,) * len(reduce_axes) + (C,)
+    y = x.astype(jnp.float32) * a.reshape(bshape) + b.reshape(bshape)
+    return y.astype(x.dtype)
+
+
 def group_norm(
     x: jnp.ndarray,
     scale: jnp.ndarray,
@@ -47,11 +112,16 @@ def group_norm(
     C = x.shape[-1]
     assert C % num_groups == 0, f"channels {C} not divisible by groups {num_groups}"
     gs = C // num_groups
+    if reduce_axes is None:
+        reduce_axes = tuple(range(1, x.ndim - 1))
+    if _GN_MATMUL_STATS and _on_tpu():
+        out = _group_norm_matmul_stats(x, scale, bias, num_groups, eps,
+                                       reduce_axes)
+        if out is not None:
+            return out
     xf = x.astype(jnp.float32)
     # split channels into (groups, group_size)
     xg = xf.reshape(x.shape[:-1] + (num_groups, gs))
-    if reduce_axes is None:
-        reduce_axes = tuple(range(1, x.ndim - 1))
     axes = tuple(reduce_axes) + (xg.ndim - 1,)  # spatial/temporal axes + group chans
     mean = jnp.mean(xg, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)

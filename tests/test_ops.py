@@ -245,3 +245,29 @@ def test_dot_attention_bshd_matches_composition():
     out = dot_attention_bshd(q, k, v, heads)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_group_norm_matmul_stats_matches_exact():
+    """The TPU matmul-stats GN (MXU ones-contraction + moments variance)
+    vs the exact two-pass formulation, both 4D per-frame and 5D
+    across-frame reductions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from insv2v_tpu.ops.norms import _group_norm_matmul_stats, group_norm
+
+    for shape, axes in [((6, 8, 10, 32), (1, 2)),
+                        ((2, 3, 8, 10, 32), (1, 2, 3))]:
+        x = jax.random.normal(jax.random.PRNGKey(0), shape) * 2.0 + 0.5
+        scale = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (32,))
+        bias = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (32,))
+        ref = group_norm(x, scale, bias, num_groups=4, eps=1e-6,
+                         reduce_axes=axes)
+        out = _group_norm_matmul_stats(x, scale, bias, 4, 1e-6, axes)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+    # non-contiguous reduce axes fall back (returns None)
+    assert _group_norm_matmul_stats(
+        jnp.zeros((2, 3, 4, 8)), jnp.ones(8), jnp.zeros(8), 2, 1e-6,
+        (1,)) is None
