@@ -36,8 +36,9 @@ def test_fused_ff_matches_reference(rows, c, blk_m, blk_n):
     args = _make(jax.random.PRNGKey(0), rows, c)
     ref = geglu_ff_reference(*args)
     out = fused_geglu_ff(*args, blk_m=blk_m, blk_n=blk_n, interpret=True)
+    # kernel gelu uses the 3-term A-S erf: |err| <= 2.5e-5 (far below bf16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_fused_ff_multi_inner_blocks():
@@ -46,7 +47,7 @@ def test_fused_ff_multi_inner_blocks():
     ref = geglu_ff_reference(*args)
     out = fused_geglu_ff(*args, blk_m=128, blk_n=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_fused_ff_3d_input():
@@ -55,7 +56,7 @@ def test_fused_ff_3d_input():
     ref = geglu_ff_reference(x3, *rest)
     out = fused_geglu_ff(x3, *rest, blk_m=128, blk_n=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_geglu_ff_grad_matches_reference():
