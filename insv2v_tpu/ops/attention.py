@@ -176,10 +176,11 @@ _flash_with_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 # Sequences shorter than this don't benefit from tiling — the fused XLA
 # path is faster and avoids padding waste (cross-attn Sk=77, temporal F<=32).
-# Env knobs allow perf A/B without code edits.
+# Env knobs allow perf A/B without code edits. r2 A/B: 256 (flash for the
+# level-1 S=384 spatial attention too) beat 512 by ~1% end-to-end.
 import os as _os
 
-_FLASH_MIN_SEQ = int(_os.environ.get("INSV2V_FLASH_MIN_SEQ", "512"))
+_FLASH_MIN_SEQ = int(_os.environ.get("INSV2V_FLASH_MIN_SEQ", "256"))
 _FLASH_DISABLED = _os.environ.get("INSV2V_FLASH", "1") == "0"
 # defaults from v5e A/B on the 256x384 editing workload (r2: 768/1536 beat
 # 512/768 by 3.5% end-to-end and the fused-XLA path by 10%; k/v fully
