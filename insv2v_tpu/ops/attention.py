@@ -128,30 +128,35 @@ def flash_attention(
 
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    dp = _round_up(d, 128)
     blk_q = pick_block(sq, blk_q)
     blk_k = pick_block(sk, blk_k)
     sqp = _round_up(sq, blk_q)
     skp = _round_up(sk, blk_k)
 
-    qp = jnp.pad(q.reshape(b * h, sq, d), ((0, 0), (0, sqp - sq), (0, dp - d)))
-    kp = jnp.pad(k.reshape(b * h, sk, d), ((0, 0), (0, skp - sk), (0, dp - d)))
-    vp = jnp.pad(v.reshape(b * h, sk, d), ((0, 0), (0, skp - sk), (0, dp - d)))
+    # NO d->128 lane padding in HBM: a block whose minor dim equals the
+    # full array dim is legal at any size (the Mosaic (8,128) rule only
+    # forbids partial lane blocks), and the VMEM tiles pad themselves.
+    # The r1 jnp.pad cost ~8 ms/step of pure pad writes plus 3.2x kernel
+    # DMA on the 256x384 workload; only the MXU contraction still pays
+    # the d=40->128 register padding (unavoidable).
+    qp = jnp.pad(q.reshape(b * h, sq, d), ((0, 0), (0, sqp - sq), (0, 0)))
+    kp = jnp.pad(k.reshape(b * h, sk, d), ((0, 0), (0, skp - sk), (0, 0)))
+    vp = jnp.pad(v.reshape(b * h, sk, d), ((0, 0), (0, skp - sk), (0, 0)))
 
     kernel = functools.partial(_flash_kernel, scale=scale, blk_k=blk_k, sk=sk)
     out = pl.pallas_call(
         kernel,
         grid=(b * h, sqp // blk_q),
         in_specs=[
-            pl.BlockSpec((None, blk_q, dp), lambda bh, iq: (bh, iq, 0)),
-            pl.BlockSpec((None, skp, dp), lambda bh, iq: (bh, 0, 0)),
-            pl.BlockSpec((None, skp, dp), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((None, blk_q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((None, skp, d), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((None, skp, d), lambda bh, iq: (bh, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, blk_q, dp), lambda bh, iq: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        out_specs=pl.BlockSpec((None, blk_q, d), lambda bh, iq: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, d), q.dtype),
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :sq, :d].reshape(b, h, sq, d)
+    return out[:, :sq, :].reshape(b, h, sq, d)
 
 
 # Flash forward with XLA-recompute backward: the flash kernel is only used

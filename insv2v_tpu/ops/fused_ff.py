@@ -69,7 +69,10 @@ def _erf_approx(x):
     t = 1.0 / (1.0 + p * ax)
     poly = t * (a1 + t * (a2 + t * a3))
     y = 1.0 - poly * jnp.exp(-ax * ax)
-    return jnp.sign(x) * y
+    # sign via f32: Mosaic has no bf16 vector compare ("Target does not
+    # support this comparison")
+    sgn = jnp.sign(x.astype(jnp.float32)).astype(x.dtype)
+    return sgn * y
 
 
 def _ff_kernel(x_ref, s_ref, b_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref,
@@ -88,11 +91,12 @@ def _ff_kernel(x_ref, s_ref, b_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref,
         acc_ref[:] = xf + b2_ref[:].astype(jnp.float32)
 
     xn = xn_ref[:]
+    dt = xn.dtype
     h = jnp.dot(xn, w1h_ref[:], preferred_element_type=jnp.float32)
-    h = h + b1h_ref[:].astype(jnp.float32)
+    h = (h + b1h_ref[:].astype(jnp.float32)).astype(dt)
     g = jnp.dot(xn, w1g_ref[:], preferred_element_type=jnp.float32)
-    g = g + b1g_ref[:].astype(jnp.float32)
-    # exact gelu via erf (jax.nn.gelu's erfc path has no Mosaic lowering)
+    g = (g + b1g_ref[:].astype(jnp.float32)).astype(dt)
+    # gelu via the A-S erf (no Mosaic erf/erfc lowering), in activation dtype
     gelu_g = 0.5 * g * (1.0 + _erf_approx(g * (2.0 ** -0.5)))
     gated = (h * gelu_g).astype(w2_ref.dtype)
     acc_ref[:] += jnp.dot(gated, w2_ref[:], preferred_element_type=jnp.float32)
@@ -117,10 +121,14 @@ def _ff_kernel_resident(x_ref, s_ref, b_ref, w1h_ref, b1h_ref, w1g_ref,
     xn = (xf - mu) * jax.lax.rsqrt(var + eps)
     xn = (xn * s_ref[:].astype(jnp.float32)
           + b_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    # h/gate arithmetic in the activation dtype (the XLA reference path
+    # also gates in bf16: Dense(dtype=bf16)); the ~12-pass gelu polynomial
+    # on f32 rivalled the kernel's matmuls on the VPU
+    dt = x_ref.dtype
     h = jnp.dot(xn, w1h_ref[:], preferred_element_type=jnp.float32)
-    h = h + b1h_ref[:].astype(jnp.float32)
+    h = (h + b1h_ref[:].astype(jnp.float32)).astype(dt)
     g = jnp.dot(xn, w1g_ref[:], preferred_element_type=jnp.float32)
-    g = g + b1g_ref[:].astype(jnp.float32)
+    g = (g + b1g_ref[:].astype(jnp.float32)).astype(dt)
     gelu_g = 0.5 * g * (1.0 + _erf_approx(g * (2.0 ** -0.5)))
     gated = (h * gelu_g).astype(w2_ref.dtype)
     out = jnp.dot(gated, w2_ref[:], preferred_element_type=jnp.float32)
