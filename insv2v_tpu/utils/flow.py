@@ -55,7 +55,8 @@ class RaftFlow:
     (flow_utils.py:134-189) run as jitted XLA. Weights: a princeton-vl
     raft .pth via ``weights_path`` (or $INSV2V_RAFT_WEIGHTS)."""
 
-    def __init__(self, weights_path: Optional[str] = None, iters: int = 12):
+    def __init__(self, weights_path: Optional[str] = None, iters: int = 12,
+                 cfg=None):
         import os
 
         import jax
@@ -63,7 +64,7 @@ class RaftFlow:
 
         from insv2v_tpu.models.raft import RAFT, RaftConfig
 
-        self.model = RAFT(cfg=RaftConfig(iters=iters))
+        self.model = RAFT(cfg=cfg if cfg is not None else RaftConfig(iters=iters))
         weights_path = weights_path or os.environ.get("INSV2V_RAFT_WEIGHTS")
         if weights_path:
             from insv2v_tpu.utils.checkpoint import load_torch_weights

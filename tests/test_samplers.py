@@ -221,3 +221,54 @@ class TestPlainSampler:
         # no-cfg path
         out3 = sample_plain(probe, None, tables, lat, ctx, guidance_scale=1.0)
         assert np.abs(np.asarray(out3["latent"] - out["latent"])).max() > 1e-4
+
+
+def test_flow_compensated_window_with_tiny_raft():
+    """VERDICT r1 #7: end-to-end flow-compensated window denoise with an
+    actual (tiny, random-init) RAFT as the estimator — the full
+    reference chain: RAFT flows -> latent-res resize (window_flows) ->
+    warped validity masks -> per-step warped delta propagation
+    (inference.py:291-398)."""
+    import warnings
+
+    import numpy as np
+
+    from insv2v_tpu.diffusion.samplers import sample_video_window
+    from insv2v_tpu.diffusion.schedules import (
+        DiffusionSchedule,
+        make_sampler_tables,
+    )
+    from insv2v_tpu.models.raft import RaftConfig
+    from insv2v_tpu.ops.resize import warp_image
+    from insv2v_tpu.utils.flow import RaftFlow, window_flows
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-init weights warning
+        est = RaftFlow(cfg=RaftConfig.tiny())
+
+    F, R, hw, lat = 4, 2, 16, 4  # 16px frames -> 4x4 latents (VAE /4 here)
+    rs = np.random.RandomState(0)
+    frames = rs.uniform(-1, 1, (F, hw, hw, 3)).astype(np.float32)
+    flows = jnp.asarray(window_flows(est, frames, R, (lat, lat)))
+    assert flows.shape == (F, R, lat, lat, 2)
+    assert np.isfinite(np.asarray(flows)).all()
+    ones = jnp.ones((R, lat, lat, 1))
+    masks = jax.vmap(lambda fl: warp_image(ones, fl))(flows)
+
+    tables = make_sampler_tables(DiffusionSchedule.create(), 2, kind="ddim")
+
+    def probe_unet(params, x, t, ctx, vsi):
+        lat_in, cond = jnp.split(x, 2, axis=-1)
+        return lat_in * 0.1 + cond * 0.05
+
+    latent = jax.random.normal(jax.random.PRNGKey(0), (1, F, lat, lat, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, F, lat, lat, 4))
+    ref = latent.at[:, R:].set(0.0)
+    tc = jnp.ones((1, 3, 8))
+    out = sample_video_window(
+        probe_unet, None, tables, latent, cond, tc, jnp.zeros_like(tc),
+        jax.random.PRNGKey(2), text_cfg=2.0, img_cfg=1.5,
+        latent_ref=ref, num_ref_frames=R, noise_correct_step=0.5,
+        flows=flows, flow_masks=masks)
+    assert out["latent"].shape == latent.shape
+    assert np.isfinite(np.asarray(out["latent"])).all()
