@@ -229,7 +229,11 @@ def main(argv=None):
                   for k, v in local_batch.items()}
             out = validate(state, vb, jax.random.fold_in(rng, step))
             path = save_preview_grid(vb, np.asarray(out["pred"]),
-                                     os.path.join(expt_dir, "previews"), step)
+                                     os.path.join(expt_dir, "previews"), step,
+                                     trajectory=np.asarray(
+                                         out.get("trajectory"))
+                                     if out.get("trajectory") is not None
+                                     else None)
             logger.log({"step": step, "preview": path})
         if (step % ckpt_every == 0 or step >= max_steps) and proc0:
             path = save_train_state(state, expt_dir)

@@ -51,19 +51,31 @@ def make_validation_fn(trainer, num_steps: int = 20, text_cfg: float = 7.5,
         latent = jax.random.normal(r_lat, cond.shape, dtype=jnp.float32)
         out = sample_video_window(
             unet_apply, state.params, tables, latent, cond, text_cond,
-            text_uncond, r_samp, text_cfg=text_cfg, img_cfg=img_cfg)
+            text_uncond, r_samp, text_cfg=text_cfg, img_cfg=img_cfg,
+            return_all=True)
         frames = vae.apply({"params": state.vae_params},
                            flat(out["latent"]) / sf,
                            method=AutoencoderKL.decode)
-        return {"pred": jnp.clip(unflat(frames), -1.0, 1.0)}
+        # denoise trajectory strip: x0-hat of the first frame at 4 evenly
+        # spaced steps (the reference pipelines expose all_pred for
+        # exactly this kind of step-wise debugging, inference.py:80-85)
+        n = tables.num_steps
+        idx = jnp.asarray([0, n // 3, (2 * n) // 3, n - 1])
+        traj_lat = out["all_pred"][idx, 0, 0]  # (4, h, w, 4)
+        traj = vae.apply({"params": state.vae_params}, traj_lat / sf,
+                         method=AutoencoderKL.decode)
+        return {"pred": jnp.clip(unflat(frames), -1.0, 1.0),
+                "trajectory": jnp.clip(traj, -1.0, 1.0)}
 
     return validate
 
 
 def save_preview_grid(batch: Dict[str, Any], pred: np.ndarray, out_dir: str,
-                      step: int, max_items: int = 1) -> str:
-    """input | edited | pred rows as one PNG per video, like the reference
-    wandb grids (callbacks/common.py:23-32)."""
+                      step: int, max_items: int = 1,
+                      trajectory: np.ndarray | None = None) -> str:
+    """input | edited | pred rows (+ an optional x0-hat denoise-trajectory
+    row) as one PNG per video, like the reference wandb grids
+    (callbacks/common.py:23-32)."""
     import cv2
 
     from insv2v_tpu.utils.media import to_uint8
@@ -76,6 +88,13 @@ def save_preview_grid(batch: Dict[str, Any], pred: np.ndarray, out_dir: str,
                        pred[:n]):
         row = np.concatenate(list(np.asarray(key_frames[0])), axis=1)
         rows.append(row)
+    if trajectory is not None:
+        traj_row = np.concatenate(list(np.asarray(trajectory)), axis=1)
+        width = rows[0].shape[1]
+        if traj_row.shape[1] < width:  # pad to grid width
+            traj_row = np.pad(traj_row,
+                              ((0, 0), (0, width - traj_row.shape[1]), (0, 0)))
+        rows.append(traj_row[:, :width])
     grid = to_uint8(np.concatenate(rows, axis=0))
     cv2.imwrite(path, cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
     return path
