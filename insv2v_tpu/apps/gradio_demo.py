@@ -51,7 +51,9 @@ def run_edit(args, video_path, prompt, text_cfg=7.5, video_cfg=1.2,
     if motion_comp:
         from insv2v_tpu.utils.flow import get_flow_estimator
 
-        flow_est = get_flow_estimator("raft")  # falls back loudly w/o weights
+        # "auto": RAFT when $INSV2V_RAFT_WEIGHTS is set, else a loud
+        # Farneback fallback; kind="raft" would *raise* without weights.
+        flow_est = get_flow_estimator("auto")
     edited = editor(frames, prompt, text_cfg=text_cfg, video_cfg=video_cfg,
                     noise_correct_step=noise_correct,
                     use_motion_compensation=motion_comp,

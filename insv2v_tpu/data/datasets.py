@@ -115,6 +115,10 @@ class VideoPromptToPromptDataset:
         seed = seeds[self.rng.randint(len(seeds))]
         with open(os.path.join(folder, "prompt.json")) as f:
             prompt = json.load(f)
+        # Top-INCLUSIVE window draw — deliberate fix, not a parity slip: the
+        # reference's top-exclusive `np.random.randint(0, 16 - num_frames)`
+        # (videoP2P.py:42) crashes at num_frames=16 (high=0) and can never
+        # pick the last valid start otherwise.
         start = self.rng.randint(0, self.source_frames - self.num_frames + 1)
         inp, out = self._load_pair(folder, seed, start)
         return {
@@ -217,6 +221,8 @@ class VideoPromptToPromptMotionAug(VideoPromptToPromptDataset):
         seed = seeds[self.rng.randint(len(seeds))]
         with open(os.path.join(folder, "prompt.json")) as f:
             prompt = json.load(f)
+        # Top-inclusive draw: same deliberate fix as VideoPromptToPromptDataset
+        # above (the reference's exclusive draw crashes at num_frames=16).
         start = self.rng.randint(0, self.source_frames - self.num_frames + 1)
         inp, out = self._load_pair(folder, seed, start)
         inp, out = self.motion_augmentation(inp, out)

@@ -232,9 +232,11 @@ def dot_attention_bshd(
 ) -> jnp.ndarray:
     """Multi-head attention on the raw (B, S, heads*d) projection layout.
 
-    On TPU with long sequences this dispatches to ``flash_attention_bshd``
-    (per-head lane slicing in the kernel — zero relayout); otherwise it
-    reshapes once and uses the fused-XLA path.
+    Reshapes/transposes to (B, H, S, d) once and calls ``dot_attention``
+    (flash on TPU for long sequences, fused XLA otherwise). A kernel that
+    reads the bshd layout directly via per-head lane-sliced BlockSpecs was
+    attempted and does NOT lower on Mosaic (jax 0.9.0) — see PERF.md
+    "Negative results"; the relayout here is the supported path.
     """
     d = q.shape[-1] // heads
     scale = 1.0 / math.sqrt(d)

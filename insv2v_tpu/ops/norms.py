@@ -48,8 +48,13 @@ def _group_norm_matmul_stats(x, scale, bias, num_groups, eps, reduce_axes):
     keeps the reduction on the MXU with native bf16->f32 accumulation and
     no f32 materialization of x. Variance comes from the (sum, sum-of-
     squares) moments — f32 accumulators, same policy torch's CUDA GN
-    kernel uses; x**2 is taken in the input dtype (bf16 on TPU), which is
-    within bf16 output resolution of the two-pass CPU formulation.
+    kernel uses. The E[x^2]-E[x]^2 cancellation amplifies any squaring
+    error by (mean/std)^2, so x**2 is computed EXACTLY: for bf16 inputs
+    x*x fits f32 (8-bit mantissa squared = 16 bits), and the f32 square is
+    split into hi+lo bf16 parts contracted separately — two bf16 MXU
+    matmuls whose f32-accumulated sum equals the exact sum-of-squares up
+    to f32 rounding (measured: mean/std=100 error drops from ~1.3 to
+    bf16-resolution; tests/test_ops.py::test_group_norm_matmul_stats_bf16).
 
     Requires reduce_axes to be the contiguous run of axes between the
     kept leading axes and the channel axis (true for every use in this
@@ -73,8 +78,17 @@ def _group_norm_matmul_stats(x, scale, bias, num_groups, eps, reduce_axes):
     ones = jnp.ones((K,), x.dtype)
     s1 = jnp.einsum("rkc,k->rc", x2, ones,
                     preferred_element_type=jnp.float32)
-    s2 = jnp.einsum("rkc,k->rc", x2 * x2, ones,
-                    preferred_element_type=jnp.float32)
+    contract = lambda t: jnp.einsum("rkc,k->rc", t, ones.astype(t.dtype),
+                                    preferred_element_type=jnp.float32)
+    if x.dtype == jnp.bfloat16:
+        # exact square in f32 (bf16*bf16 fits f32), hi/lo-split back to
+        # bf16 so both contractions stay on the bf16 MXU path
+        sq = x2.astype(jnp.float32) ** 2
+        hi = sq.astype(jnp.bfloat16)
+        lo = (sq - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s2 = contract(hi) + contract(lo)
+    else:
+        s2 = contract(x2 * x2)
     n = K * gs
     s1g = jnp.sum(s1.reshape(R, num_groups, gs), axis=-1)
     s2g = jnp.sum(s2.reshape(R, num_groups, gs), axis=-1)

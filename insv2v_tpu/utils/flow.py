@@ -56,7 +56,7 @@ class RaftFlow:
     raft .pth via ``weights_path`` (or $INSV2V_RAFT_WEIGHTS)."""
 
     def __init__(self, weights_path: Optional[str] = None, iters: int = 12,
-                 cfg=None):
+                 cfg=None, allow_random: bool = False):
         import os
 
         import jax
@@ -72,14 +72,20 @@ class RaftFlow:
 
             self.params = convert_raft_state_dict(
                 load_torch_weights(weights_path))
-        else:
-            import warnings
-
-            warnings.warn("RaftFlow without weights produces meaningless "
-                          "flow; set INSV2V_RAFT_WEIGHTS")
+        elif allow_random:
+            # Structure-testing escape hatch only (tests/test_samplers.py):
+            # random-init RAFT flow is numerically meaningless.
             dummy = jnp.zeros((1, 64, 64, 3))
             self.params = self.model.init(
                 jax.random.PRNGKey(0), dummy, dummy)["params"]
+        else:
+            raise ValueError(
+                "RaftFlow requires pretrained weights: set "
+                "$INSV2V_RAFT_WEIGHTS or pass weights_path= (the reference "
+                "always loads pretrained RAFT, flow_utils.py:134-189). "
+                "Random-init RAFT produces meaningless flow; pass "
+                "allow_random=True only for structure tests, or use "
+                "get_flow_estimator('auto') for the Farneback fallback.")
         self._apply = jax.jit(
             lambda p, a, b: self.model.apply({"params": p}, a, b))
 

@@ -271,3 +271,29 @@ def test_group_norm_matmul_stats_matches_exact():
     assert _group_norm_matmul_stats(
         jnp.zeros((2, 3, 4, 8)), jnp.ones(8), jnp.zeros(8), 2, 1e-6,
         (1,)) is None
+
+
+def test_group_norm_matmul_stats_bf16():
+    """bf16 production path of the matmul-stats GN: the E[x^2]-E[x]^2
+    cancellation amplifies squaring error by (mean/std)^2, so x^2 is
+    computed exactly in f32 and hi/lo-split for the bf16 MXU contraction
+    (ADVICE r2). Without the split, mean/std=100 gave ~1.3 max error;
+    with it the error stays at bf16 output resolution for any mean."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from insv2v_tpu.ops.norms import _group_norm_matmul_stats, group_norm
+
+    rs = np.random.RandomState(0)
+    scale = jnp.asarray(1.0 + 0.1 * rs.randn(32).astype(np.float32))
+    bias = jnp.asarray(0.1 * rs.randn(32).astype(np.float32))
+    for mean_mag in [0.0, 30.0, 100.0, 300.0]:
+        x = (rs.randn(2, 8, 10, 32) + mean_mag).astype(np.float32)
+        xb = jnp.asarray(x, jnp.bfloat16)
+        out = _group_norm_matmul_stats(xb, scale, bias, 4, 1e-6, (1, 2))
+        assert out.dtype == jnp.bfloat16
+        # reference: exact two-pass f32 GN of the SAME quantized input
+        ref = group_norm(xb.astype(jnp.float32), scale, bias, 4, 1e-6,
+                         reduce_axes=(1, 2))
+        err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+        assert err.max() < 0.03, (mean_mag, err.max())

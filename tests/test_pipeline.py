@@ -84,3 +84,23 @@ def test_cfg_values_do_not_recompile_but_change_result(editor):
     a = editor(frames, "red car", frames_per_window=6, text_cfg=7.5, seed=6)
     b = editor(frames, "red car", frames_per_window=6, text_cfg=2.0, seed=6)
     assert np.abs(a - b).max() > 1e-5
+
+
+def test_flow_estimator_raft_requires_weights(monkeypatch):
+    """get_flow_estimator('raft') must never silently run random-init RAFT
+    (the reference always loads pretrained RAFT, flow_utils.py:134-189);
+    'auto' falls back to Farneback with a warning."""
+    import warnings
+
+    import pytest
+
+    from insv2v_tpu.utils.flow import FarnebackFlow, get_flow_estimator
+
+    monkeypatch.delenv("INSV2V_RAFT_WEIGHTS", raising=False)
+    with pytest.raises(ValueError, match="pretrained weights"):
+        get_flow_estimator("raft")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        est = get_flow_estimator("auto")
+    assert isinstance(est, FarnebackFlow)
+    assert any("Farneback" in str(w.message) for w in caught)

@@ -229,8 +229,6 @@ def test_flow_compensated_window_with_tiny_raft():
     reference chain: RAFT flows -> latent-res resize (window_flows) ->
     warped validity masks -> per-step warped delta propagation
     (inference.py:291-398)."""
-    import warnings
-
     import numpy as np
 
     from insv2v_tpu.diffusion.samplers import sample_video_window
@@ -242,9 +240,7 @@ def test_flow_compensated_window_with_tiny_raft():
     from insv2v_tpu.ops.resize import warp_image
     from insv2v_tpu.utils.flow import RaftFlow, window_flows
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # random-init weights warning
-        est = RaftFlow(cfg=RaftConfig.tiny())
+    est = RaftFlow(cfg=RaftConfig.tiny(), allow_random=True)
 
     F, R, hw, lat = 4, 2, 16, 4  # 16px frames -> 4x4 latents (VAE /4 here)
     rs = np.random.RandomState(0)
