@@ -133,9 +133,8 @@ def main(argv=None):
         return unet.apply({"params": p}, x, t, ctx, sa_share=sa_share)
 
     # static phase boundaries are quantized to the step grid (integer step
-    # counts) before jitting, bounding recompiles to the handful of
-    # (sa_steps, ca_steps) grid points instead of one compile per unique
-    # continuous uniform(0.6, 0.85) draw
+    # counts) before jitting; with the discrete sa/ca draw grids below the
+    # compile-variant count is bounded at 4x6=24 (see the draw site)
     sampler = jax.jit(
         lambda p, lat, cn, co, ckv, cu, rng, gs, sa_steps, ca_steps:
         sample_ptp_pair(
@@ -174,10 +173,17 @@ def main(argv=None):
         while accepted < args.num_samples and attempts < args.max_attempts:
             attempts += 1
             seed = int(rs.randint(0, 2**31 - 1))
-            guidance = float(rs.uniform(5, 13))
-            sa_end = float(rs.choice([0.3, 0.35, 0.4, 0.45]))
-            ca_end = float(rs.uniform(0.6, 0.85))
-            edit_weight = float(rs.uniform(1, 6))
+            # Hyper draws match the reference's discrete grids EXACTLY
+            # (video_prompt_to_prompt.py:178-182): guidance/edit_weight are
+            # integer randints (traced values — no recompile), sa/ca come
+            # from linspace grids of 4 and 6 points. Since the only static
+            # jit args are (sa_steps, ca_steps), compile variants are
+            # bounded by the 4x6=24 grid combinations (fewer after the
+            # int(x*steps) step-grid quantization collapses duplicates).
+            guidance = float(rs.randint(5, 13))
+            sa_end = round(float(rs.choice(np.linspace(0.3, 0.45, 4))), 2)
+            ca_end = round(float(rs.choice(np.linspace(0.6, 0.85, 6))), 2)
+            edit_weight = float(rs.randint(1, 6))
 
             pieces = compute_diff(prompt["input"], prompt["output"])
             for piece in pieces:
@@ -194,10 +200,16 @@ def main(argv=None):
 
             lat = jax.random.normal(
                 jax.random.PRNGKey(seed), (1, args.num_frames, hw, hw, 4))
+            sa_steps = int(sa_end * args.steps)
+            # tiny-step safeguard: at the reference's >=20 steps the sa/ca
+            # grids can never collide on the step grid, but smoke runs with
+            # steps<=6 can quantize both to the same step count
+            ca_steps = min(max(int(ca_end * args.steps), sa_steps + 1),
+                           args.steps)
             out = sampler(params["unet"], lat, ctx_new, ctx_old,
                           (jnp.asarray(key_ctx), jnp.asarray(val_ctx)),
                           ctx_un, jax.random.PRNGKey(seed), guidance,
-                          int(sa_end * args.steps), int(ca_end * args.steps))
+                          sa_steps, ca_steps)
 
             frames = {}
             for tag, latv in (("0", out["latent_old"]), ("1", out["latent"])):
