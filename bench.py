@@ -1,19 +1,35 @@
 """Benchmark: edited frames/sec/chip on the reference's headline workload.
 
-Measures the full editing hot path — 32 frames at 256x384, 50-step DDIM,
-dual-CFG (3x batch fused), 16-frame sliding windows with 4 ref frames and
-noise anchoring — on whatever accelerator jax exposes, with random
-weights (throughput is weight-independent).
+Measures the FULL editing path — text encode, chunked VAE encode of the
+32-frame conditioning video, the 50-step dual-CFG windowed denoise chain
+(16-frame windows, 4 ref frames, noise anchoring), and the chunked VAE
+decode — i.e. everything the reference's LOVEU runner does per video
+(insv2v_run_loveu_tgve.py:98-168), at 256x384, with random weights
+(throughput is weight-independent).
 
 Prints ONE json line:
   {"metric": "edited_frames_per_sec_per_chip", "value": N,
-   "unit": "frames/s/chip", "vs_baseline": N}
+   "unit": "frames/s/chip", "vs_baseline": N, ...}
+
+``value`` is the END-TO-END batch-1 number; ``denoise_fps`` isolates the
+denoise chain (the r1/r2 headline for cross-round comparison), and
+``batched_fps`` is the end-to-end throughput with BENCH_B edit prompts
+batched into one chain — the LOVEU grid runs 4 edits per video over
+identical image conditioning, so batching is the production configuration
+(apps/run_loveu_tgve.py).
 
 ``vs_baseline`` divides by an estimated A100 reference throughput for the
 same workload (BASELINE.md: the reference publishes no numbers, so the
 baseline is reconstructed): torch fp16 + xformers InsV2V at 256x384 runs
 ~20 denoise steps over 3 windows in ~25 s => scaled to 50 steps ~ 0.55
 edited frames/s on one A100. North star (BASELINE.json): >= 5x => 2.75.
+
+Env knobs: BENCH_FRAMES/H/W/STEPS (workload), BENCH_REPS, BENCH_B
+(batched-chain width, 0 disables), BENCH_E2E=0 (denoise-only probe mode,
+skips VAE/text models entirely), BENCH_MFU=0 (skip the costing compile).
+Warmup compiles ONE window variant (the ref-anchored sampler also serves
+the first window with num_ref=0 — exact no-op correction) per batch size,
+plus VAE encode/decode and the text encoder.
 """
 
 import json
@@ -49,7 +65,10 @@ def _compiled_flops(jitted, *args) -> float:
 
     NOTE: XLA counts a ``lax.scan``/while body ONCE, so never call this on
     a whole sampler chain — cost a single denoise step and multiply by the
-    step count (the round-1 bench under-reported MFU ~50x this way).
+    step count (the round-1 bench under-reported MFU ~50x this way). It
+    also cannot see inside Pallas kernels (flash attention + fused FF), so
+    the reported MFU UNDERCOUNTS by their FLOPs (PERF.md: true ~41-43%
+    when reported ~30%).
     """
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
@@ -60,10 +79,14 @@ def _compiled_flops(jitted, *args) -> float:
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
         return 0.0
 
+
 NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
 HEIGHT = int(os.environ.get("BENCH_H", "256"))
 WIDTH = int(os.environ.get("BENCH_W", "384"))
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+BATCH = int(os.environ.get("BENCH_B", "4"))
+E2E = os.environ.get("BENCH_E2E", "1") != "0"
 WINDOW = 16
 NUM_REF = 4
 
@@ -93,12 +116,32 @@ def main():
     ctx0 = jnp.zeros((3, 77, cfg.cross_attention_dim), jnp.bfloat16)
     t0 = jnp.zeros((3,), jnp.int32)
     # throughput is weight-independent (MXU time is data-independent):
-    # materialize cheap constant params instead of a 0.86B random init
+    # materialize cheap constant params instead of a 0.86B random init.
+    # ONE jitted builder per model = one relay dispatch for the whole tree
+    # (the per-leaf jnp.full loop was 38 s of r2 warmup — PERF.md).
     t_init = time.perf_counter()
-    shapes = jax.eval_shape(lambda k: model.init(k, sample0, t0, ctx0), rng)
-    # serve weights in bf16: halves weight HBM traffic on the MXU path
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.02, jnp.bfloat16), shapes)["params"]
+
+    def const_params(init_fn):
+        shapes = jax.eval_shape(init_fn)["params"]
+        build = jax.jit(lambda: jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.02, jnp.bfloat16), shapes))
+        return jax.block_until_ready(build())
+
+    params = const_params(lambda: model.init(rng, sample0, t0, ctx0))
+
+    vae = text = None
+    vae_params = text_params = None
+    if E2E:
+        from insv2v_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+        from insv2v_tpu.models.vae import AutoencoderKL, VaeConfig
+
+        vae = AutoencoderKL(cfg=VaeConfig(), dtype=jnp.bfloat16)
+        text = ClipTextEncoder(ClipTextConfig(), dtype=jnp.bfloat16)
+        frames0 = jnp.zeros((1, HEIGHT, WIDTH, 3))
+        ids0 = jnp.zeros((1, 77), jnp.int32)
+        vae_params = const_params(  # full __call__ => encoder AND decoder
+            lambda: vae.init(rng, frames0, sample_posterior=False))
+        text_params = const_params(lambda: text.init(rng, ids0))
     print(f"# params materialized in {time.perf_counter()-t_init:.1f}s",
           file=sys.stderr)
 
@@ -108,61 +151,129 @@ def main():
     def unet_apply(p, s, t, c, vsi):
         return model.apply({"params": p}, s, t, c, video_start_index=vsi)
 
+    # ONE compiled sampler serves every window: num_ref is traced and the
+    # anchoring correction vanishes exactly at num_ref=0 (samplers.py).
     @jax.jit
-    def first_window(p, latent, cond, tc, tu, key):
-        return sample_video_window(
-            unet_apply, p, tables, latent, cond, tc, tu, key,
-            text_cfg=7.5, img_cfg=1.2)["latent"]
-
-    @jax.jit
-    def next_window(p, latent, cond, tc, tu, key, latent_ref, num_ref, vsi):
+    def window_ref(p, latent, cond, tc, tu, key, latent_ref, num_ref, vsi):
         return sample_video_window(
             unet_apply, p, tables, latent, cond, tc, tu, key,
             text_cfg=7.5, img_cfg=1.2, video_start_index=vsi,
             latent_ref=latent_ref, num_ref_frames=num_ref,
-            noise_correct_step=0.5)["latent"]
+            noise_correct_step=0.5, share_batch_noise=True)["latent"]
 
-    tc = jax.random.normal(rng, (1, 77, cfg.cross_attention_dim), jnp.bfloat16)
-    tu = jnp.zeros_like(tc)
+    if E2E:
+        encode_text = jax.jit(lambda p, ids: text.apply({"params": p}, ids))
+
+        @jax.jit
+        def vae_encode(p, x, key):
+            return vae.apply({"params": p}, x, key, method=AutoencoderKL.encode)
+
+        @jax.jit
+        def vae_decode(p, z):
+            return vae.apply({"params": p}, z / 0.18215,
+                             method=AutoencoderKL.decode)
+
     windows = split_windows(NUM_FRAMES, WINDOW, NUM_REF)
 
-    def run_chain(seed):
+    def run_chain(seed, b, tc, tu, cond_all):
+        """The windowed denoise chain at video batch b (dual-CFG => 3b)."""
         key = jax.random.PRNGKey(seed)
-        cond_all = jax.random.normal(key, (1, NUM_FRAMES, h, w, 4), jnp.float32)
         k1, key = jax.random.split(key)
-        init = jax.random.normal(k1, (1, windows[0].num_frames, h, w, 4))
-        lat = first_window(params, init, cond_all[:, :windows[0].num_frames],
-                           tc, tu, k1)
+        f0 = windows[0].num_frames
+        init = jnp.broadcast_to(
+            jax.random.normal(k1, (1, f0, h, w, 4)), (b, f0, h, w, 4))
+        lat = window_ref(params, init, cond_all[:, :f0], tc, tu, k1,
+                         jnp.zeros_like(init), jnp.int32(0), jnp.int32(0))
         prev_init = init
+        outs = [lat]
         for spec in windows[1:]:
             kn, key = jax.random.split(key)
             n_new = spec.num_frames - spec.num_ref
             init = jnp.concatenate(
                 [prev_init[:, -spec.num_ref:],
-                 jax.random.normal(kn, (1, n_new, h, w, 4))], axis=1)
+                 jnp.broadcast_to(jax.random.normal(kn, (1, n_new, h, w, 4)),
+                                  (b, n_new, h, w, 4))], axis=1)
             ref = jnp.concatenate(
-                [lat[:, -spec.num_ref:], jnp.zeros((1, n_new, h, w, 4))], axis=1)
-            lat = next_window(
+                [lat[:, -spec.num_ref:], jnp.zeros((b, n_new, h, w, 4))], axis=1)
+            lat = window_ref(
                 params, init, cond_all[:, spec.start: spec.start + spec.num_frames],
                 tc, tu, kn, ref, jnp.int32(spec.num_ref), jnp.int32(spec.start))
+            outs.append(lat[:, spec.num_ref:])
             prev_init = init
+        return jnp.concatenate(outs, axis=1)
+
+    def run_edit(seed, b):
+        """Full edit: text encode + chunked VAE encode + chain + decode
+        (the per-video work of insv2v_run_loveu_tgve.py:98-168)."""
+        key = jax.random.PRNGKey(seed)
+        if E2E:
+            ids = jax.random.randint(key, (b + 1, 77), 0, 49408)
+            ctx = encode_text(text_params, ids).astype(jnp.bfloat16)
+            tc, tu = ctx[:b], jnp.broadcast_to(ctx[b:], ctx[:b].shape)
+            frames = jax.random.uniform(key, (NUM_FRAMES, HEIGHT, WIDTH, 3),
+                                        minval=-1.0, maxval=1.0)
+            zs = [vae_encode(vae_params, frames[i: i + 16],
+                             jax.random.fold_in(key, i))
+                  for i in range(0, NUM_FRAMES, 16)]
+            cond = (jnp.concatenate(zs, axis=0)[None]).astype(jnp.float32)
+        else:
+            tc = jax.random.normal(key, (b, 77, cfg.cross_attention_dim),
+                                   jnp.bfloat16)
+            tu = jnp.zeros_like(tc)
+            cond = jax.random.normal(key, (1, NUM_FRAMES, h, w, 4), jnp.float32)
+        cond_all = jnp.broadcast_to(cond, (b,) + cond.shape[1:])
+        lat = run_chain(seed, b, tc, tu, cond_all)
+        if E2E:
+            flat = lat.reshape((-1,) + lat.shape[2:])
+            outs = [vae_decode(vae_params, flat[i: i + 8])
+                    for i in range(0, flat.shape[0], 8)]
+            return jnp.concatenate(outs, axis=0)
         return lat
 
-    # warmup/compile
-    t_c = time.perf_counter()
-    run_chain(0).block_until_ready()
-    print(f"# compile+warmup: {time.perf_counter()-t_c:.1f}s", file=sys.stderr)
+    def timed(fn, n, *args):
+        ts = []
+        for i in range(n):
+            t_start = time.perf_counter()
+            jax.block_until_ready(fn(i + 1, *args))
+            ts.append(time.perf_counter() - t_start)
+        return ts
 
-    times = []
-    for i in range(int(os.environ.get("BENCH_REPS", "3"))):
-        t_start = time.perf_counter()
-        run_chain(i + 1).block_until_ready()
-        times.append(time.perf_counter() - t_start)
+    # warmup/compile (one window variant per batch size + VAE/text)
+    t_c = time.perf_counter()
+    jax.block_until_ready(run_edit(0, 1))
+    print(f"# compile+warmup b=1: {time.perf_counter()-t_c:.1f}s",
+          file=sys.stderr)
+
+    times = timed(run_edit, REPS, 1)
     best = min(times)
     fps = NUM_FRAMES / best
     p50 = sorted(times)[len(times) // 2]
-    print(f"# denoise-chain times: {[f'{t:.2f}' for t in times]} s",
+    print(f"# e2e edit times (b=1): {[f'{t:.2f}' for t in times]} s",
           file=sys.stderr)
+
+    denoise_fps = None
+    if E2E:
+        # isolate the denoise chain (the r1/r2 headline) for comparability
+        tcd = jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.bfloat16)
+        cond = jnp.zeros((1, NUM_FRAMES, h, w, 4), jnp.float32)
+        jax.block_until_ready(run_chain(0, 1, tcd, tcd, cond))  # cached compile
+        dts = timed(lambda s: run_chain(s, 1, tcd, tcd, cond), REPS)
+        denoise_fps = NUM_FRAMES / min(dts)
+        print(f"# denoise-chain times: {[f'{t:.2f}' for t in dts]} s",
+              file=sys.stderr)
+    else:
+        denoise_fps = fps
+
+    batched_fps = None
+    if BATCH > 1:
+        t_c = time.perf_counter()
+        jax.block_until_ready(run_edit(0, BATCH))
+        print(f"# compile+warmup b={BATCH}: {time.perf_counter()-t_c:.1f}s",
+              file=sys.stderr)
+        bts = timed(run_edit, max(1, REPS - 1), BATCH)
+        batched_fps = BATCH * NUM_FRAMES / min(bts)
+        print(f"# e2e edit times (b={BATCH}): {[f'{t:.2f}' for t in bts]} s",
+              file=sys.stderr)
 
     # MFU: XLA-counted FLOPs for ONE fused 3xCFG denoise step x (steps x
     # windows) / wall / peak. Costing the step (not the scanned chain)
@@ -180,10 +291,13 @@ def main():
 
         lat1 = jnp.zeros((1, WINDOW, h, w, 4), jnp.float32)
         cond1 = jnp.zeros((1, WINDOW, h, w, 4), jnp.float32)
-        step_flops = _compiled_flops(one_step, params, lat1, cond1, tc, tu)
+        tc1 = jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.bfloat16)
+        step_flops = _compiled_flops(one_step, params, lat1, cond1, tc1, tc1)
     total_flops = step_flops * STEPS * len(windows)
     peak = _peak_tflops(dev)
-    mfu = (total_flops / best / (peak * 1e12)) if (peak and total_flops) else None
+    denoise_wall = NUM_FRAMES / denoise_fps if denoise_fps else None
+    mfu = (total_flops / denoise_wall / (peak * 1e12)
+           if (peak and total_flops and denoise_wall) else None)
     if mfu is not None:
         print(f"# step flops: {step_flops/1e12:.2f} TF x {STEPS * len(windows)}"
               f" steps, peak {peak} TF/s, mfu {mfu:.3f}", file=sys.stderr)
@@ -193,10 +307,14 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_EST_FPS, 3),
+        "denoise_fps": round(denoise_fps, 3) if denoise_fps else None,
+        "batched_fps": round(batched_fps, 3) if batched_fps else None,
+        "batch": BATCH if batched_fps else 1,
         "p50_edit_latency_s": round(p50, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "chain_tflops": round(total_flops / 1e12, 1) if total_flops else None,
-        "config": f"{NUM_FRAMES}f@{HEIGHT}x{WIDTH},{STEPS}-step DDIM, dual CFG",
+        "config": (f"{NUM_FRAMES}f@{HEIGHT}x{WIDTH},{STEPS}-step DDIM, "
+                   f"dual CFG{', e2e' if E2E else ', denoise-only'}"),
     }))
 
 

@@ -126,6 +126,21 @@ def main():
             peak_hbm_gb = round(stats["peak_bytes_in_use"] / 2**30, 2)
     except Exception as e:
         print(f"# memory_stats unavailable: {e}", file=sys.stderr)
+    # static fallback when the relay hides runtime memory stats: XLA's own
+    # compile-time memory analysis (args + outputs + temps + generated code)
+    hbm_analysis_gb = None
+    try:
+        ma = step_fn.lower(state, make_batch(0), rng).compile().memory_analysis()
+        total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes
+                 - ma.alias_size_in_bytes)
+        hbm_analysis_gb = round(total / 2**30, 2)
+        print(f"# xla memory analysis: args {ma.argument_size_in_bytes/2**30:.2f} "
+              f"+ temps {ma.temp_size_in_bytes/2**30:.2f} "
+              f"- aliased {ma.alias_size_in_bytes/2**30:.2f} "
+              f"= {hbm_analysis_gb} GiB", file=sys.stderr)
+    except Exception as e:
+        print(f"# memory_analysis unavailable: {e}", file=sys.stderr)
 
     result = {
         "metric": "train_microbatch_time_s",
@@ -135,6 +150,7 @@ def main():
         "accum": accum,
         "extrapolated_accum256_step_s": round(best / accum * 256, 1),
         "peak_hbm_gb": peak_hbm_gb,
+        "hbm_analysis_gb": hbm_analysis_gb,
         "unet_params_b": round(n_params / 1e9, 3),
         "loss_finite": bool(np.isfinite(loss)),
         "optimizer": tcfg.optimizer,

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-index", type=int, default=0)
     p.add_argument("--flow-estimator", default="auto",
                    choices=["auto", "farneback", "raft", "zero"])
+    p.add_argument("--batch-edits", type=int, default=4,
+                   help="how many of a video's edit prompts share one "
+                   "denoise chain (they share image conditioning; 1 = "
+                   "the reference's sequential behaviour)")
     return p
 
 
@@ -80,16 +84,26 @@ def main(argv=None):
             total = item["frames"].shape[0]
             frame_skip = max(1, total // num_frames)
             frames = item["frames"][::frame_skip][:num_frames]
+            # All 4 edit types of a video share its image conditioning, so
+            # they run as ONE prompt-batched denoise chain (B=4 video
+            # batch => 12 with the CFG triple) instead of the reference's 4
+            # sequential chains (insv2v_run_loveu_tgve.py:83-101) — the
+            # single biggest single-chip throughput lever on TPU. Partial
+            # resumes batch only the missing prompts (a smaller batch
+            # compiles its own sampler variant; --batch-edits 1 disables).
+            pending, tags = [], []
             for prompt_key in LoveuTgveVideoDataset.EDIT_KEYS:
-                prompt = item[prompt_key]
                 tag = (f"{video_name}-{prompt_key}-tcfg{text_cfg}-"
                        f"vcfg{video_cfg}-f{num_frames}-s{image_size}")
-                out_gif = os.path.join(args.output_dir, f"{tag}.gif")
-                if os.path.exists(out_gif):  # idempotent resume
-                    continue
+                if os.path.exists(os.path.join(args.output_dir, f"{tag}.gif")):
+                    continue  # idempotent resume
+                pending.append(item[prompt_key])
+                tags.append(tag)
+            for i in range(0, len(pending), max(1, args.batch_edits)):
+                prompts = pending[i: i + max(1, args.batch_edits)]
                 t0 = time.perf_counter()
-                edited = editor(
-                    frames, prompt,
+                edited_b = editor(
+                    frames, prompts,
                     text_cfg=text_cfg, video_cfg=video_cfg,
                     frames_per_window=args.frames_in_batch,
                     num_ref_frames=args.num_ref_frames,
@@ -98,13 +112,17 @@ def main(argv=None):
                     flow_estimator=flow_est,
                 )
                 dt = time.perf_counter() - t0
-                metrics["videos"] += 1
-                metrics["frames"] += int(edited.shape[0])
+                for j, tag in enumerate(tags[i: i + len(prompts)]):
+                    edited = edited_b[j]
+                    metrics["videos"] += 1
+                    metrics["frames"] += int(edited.shape[0])
+                    out_gif = os.path.join(args.output_dir, f"{tag}.gif")
+                    save_gif(concat_videos([frames, edited]), out_gif)
+                    save_frames(edited, os.path.join(args.output_dir, tag))
                 metrics["seconds"] += dt
-                save_gif(concat_videos([frames, edited]), out_gif)
-                save_frames(edited, os.path.join(args.output_dir, tag))
-                print(f"{tag}: {dt:.1f}s "
-                      f"({edited.shape[0] / dt:.2f} frames/s)")
+                nf = len(prompts) * frames.shape[0]
+                print(f"{tags[i]} (+{len(prompts)-1} batched): {dt:.1f}s "
+                      f"({nf / dt:.2f} frames/s)")
 
     if metrics["seconds"] > 0:
         metrics["frames_per_sec"] = metrics["frames"] / metrics["seconds"]

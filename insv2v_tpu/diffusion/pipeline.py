@@ -14,7 +14,7 @@ has the same frame count with a *traced* ref-frame count and start index.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -90,11 +90,9 @@ class VideoEditor:
                                    video_start_index=vsi)
 
         self._unet_apply = unet_apply
-        # one compiled sampler per (noise_correct_on, flow_on) x window shape
-        self._window = jax.jit(
-            functools.partial(self._window_impl, with_ref=False, with_flow=False),
-            static_argnames=("noise_correct_step",),
-        )
+        # one compiled sampler per (flow_on,) x window shape: the first
+        # (no-ref) window reuses the ref variant with num_ref=0 (exact
+        # no-op correction), halving chain warmup
         self._window_ref = jax.jit(
             functools.partial(self._window_impl, with_ref=True, with_flow=False),
             static_argnames=("noise_correct_step",),
@@ -122,6 +120,7 @@ class VideoEditor:
             noise_correct_step=noise_correct_step if with_ref else 0.0,
             flows=flows if with_flow else None,
             flow_masks=flow_masks if with_flow else None,
+            share_batch_noise=True,
         )["latent"]
 
     # --- public API -------------------------------------------------------
@@ -159,7 +158,7 @@ class VideoEditor:
     def __call__(
         self,
         frames: np.ndarray,
-        edit_prompt: str,
+        edit_prompt: Union[str, Sequence[str]],
         *,
         text_cfg: float = 7.5,
         video_cfg: float = 1.2,
@@ -172,16 +171,31 @@ class VideoEditor:
         seed: int = 0,
     ) -> np.ndarray:
         """Edit a video. frames: (F, H, W, 3) float in [-1, 1]. Returns the
-        edited frames, same shape. Mirrors video_edit.ipynb cells 6-8."""
+        edited frames, same shape. Mirrors video_edit.ipynb cells 6-8.
+
+        ``edit_prompt`` may be a LIST of prompts: all edits then share one
+        denoise chain with the video batch axis = len(prompts) (the VAE
+        latents, initial noise and rng are shared, so prompt k of a batched
+        call equals a solo call with the same seed). This is the
+        LOVEU-grid batching lever: the reference runs its 4 edit types as
+        4 sequential full chains over identical img_cond
+        (insv2v_run_loveu_tgve.py:83-101); on TPU one B=4 chain keeps the
+        MXU fed. Returns (B, F, H, W, 3) for a list, (F, H, W, 3) for str.
+        """
+        prompts = [edit_prompt] if isinstance(edit_prompt, str) else list(edit_prompt)
+        b = len(prompts)
         rng = jax.random.PRNGKey(seed)
         rng, enc_rng, lat_rng = jax.random.split(rng, 3)
 
-        text_cond = self.encode_text([edit_prompt])
-        text_uncond = self.encode_text([negative_prompt])
-        cond_all = self.encode_video(frames, enc_rng)[None]  # (1, F, h, w, 4)
+        text_cond = self.encode_text(prompts)  # (B, 77, D)
+        text_uncond = jnp.broadcast_to(
+            self.encode_text([negative_prompt]), text_cond.shape)
+        cond_1 = self.encode_video(frames, enc_rng)[None]  # (1, F, h, w, 4)
+        cond_all = jnp.broadcast_to(cond_1, (b,) + cond_1.shape[1:])
 
         windows = split_windows(frames.shape[0], frames_per_window, num_ref_frames)
         h, w = cond_all.shape[2], cond_all.shape[3]
+        ch = cond_all.shape[-1]
 
         if use_motion_compensation and flow_estimator is None:
             from insv2v_tpu.utils.flow import get_flow_estimator
@@ -191,13 +205,21 @@ class VideoEditor:
         up = self.params["unet"]
         outs: List[jnp.ndarray] = []
         w0 = windows[0]
-        init0 = jax.random.normal(
-            lat_rng, (1, w0.num_frames, h, w, cond_all.shape[-1]), dtype=jnp.float32
-        )
+        # shared initial noise across the prompt batch (see docstring)
+        init0 = jnp.broadcast_to(
+            jax.random.normal(lat_rng, (1, w0.num_frames, h, w, ch),
+                              dtype=jnp.float32),
+            (b, w0.num_frames, h, w, ch))
         rng, w0_rng = jax.random.split(rng)
-        latent_pred = self._window(
+        # the first window reuses the ref-variant compilation with
+        # num_ref=0: the anchor mask is then all-zero so the correction
+        # term vanishes exactly — one compiled sampler for the whole
+        # chain instead of a separate no-ref variant (warmup halves)
+        latent_pred = self._window_ref(
             up, init0, cond_all[:, : w0.num_frames], text_cond, text_uncond,
-            w0_rng, jnp.float32(text_cfg), jnp.float32(video_cfg), 0,
+            w0_rng, jnp.float32(text_cfg), jnp.float32(video_cfg),
+            jnp.int32(0), jnp.zeros_like(init0), jnp.int32(0),
+            noise_correct_step=noise_correct_step,
         )
         outs.append(latent_pred)
         prev_init = init0
@@ -205,16 +227,17 @@ class VideoEditor:
         for spec in windows[1:]:
             rng, nrng, srng = jax.random.split(rng, 3)
             n_new = spec.num_frames - spec.num_ref
-            new_noise = jax.random.normal(
-                nrng, (1, n_new, h, w, cond_all.shape[-1]), dtype=jnp.float32
-            )
+            new_noise = jnp.broadcast_to(
+                jax.random.normal(nrng, (1, n_new, h, w, ch),
+                                  dtype=jnp.float32),
+                (b, n_new, h, w, ch))
             # ref slots carry the previous window's *initial* noise; the
             # anchor is the previous *output* (video_edit.ipynb cell 7)
             init = jnp.concatenate([prev_init[:, -spec.num_ref:], new_noise], axis=1)
             img_cond = cond_all[:, spec.start: spec.start + spec.num_frames]
             latent_ref_full = jnp.concatenate(
                 [latent_pred[:, -spec.num_ref:],
-                 jnp.zeros((1, n_new, h, w, cond_all.shape[-1]))], axis=1)
+                 jnp.zeros((b, n_new, h, w, ch))], axis=1)
 
             if use_motion_compensation:
                 from insv2v_tpu.utils.flow import window_flows
@@ -242,5 +265,8 @@ class VideoEditor:
             outs.append(latent_pred[:, spec.num_ref:])
             prev_init = init
 
-        edited = jnp.concatenate(outs, axis=1)[0]  # (F, h, w, 4)
-        return self.decode_latents(edited)
+        edited = jnp.concatenate(outs, axis=1)  # (B, F, h, w, 4)
+        bf = edited.reshape((-1,) + edited.shape[2:])
+        decoded = self.decode_latents(bf)
+        decoded = decoded.reshape(edited.shape[:2] + decoded.shape[1:])
+        return decoded[0] if isinstance(edit_prompt, str) else decoded

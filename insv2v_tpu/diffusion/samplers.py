@@ -116,6 +116,7 @@ def sample_video_window(
     flows: Optional[jnp.ndarray] = None,
     flow_masks: Optional[jnp.ndarray] = None,
     return_all: bool = False,
+    share_batch_noise: bool = False,
 ) -> dict:
     """Denoise one 16-frame window. First window: leave ``latent_ref=None``.
 
@@ -128,6 +129,12 @@ def sample_video_window(
     (per-query-frame, per-ref-frame displacement fields at latent
     resolution, shape (F, R, h, w, 2)) and ``flow_masks`` (their warped
     validity, (F, R, h, w, 1), precomputed since they are step-invariant).
+
+    ``share_batch_noise`` draws ONE per-step stochastic-sampler noise
+    field and broadcasts it over the video batch axis, so element k of a
+    batched call reproduces a batch-1 call with the same rng exactly
+    (bit-identical for B=1; used by the prompt-batched pipeline). Leave
+    False for genuinely independent videos in one batch.
     """
     num_steps = tables.num_steps
     f = latent.shape[1]
@@ -168,7 +175,9 @@ def sample_video_window(
             use = (i < correct_until).astype(jnp.float32)
             eps = eps + use * correction
 
-        noise = jax.random.normal(nkey, lat.shape, dtype=jnp.float32)
+        nshape = (1,) + lat.shape[1:] if share_batch_noise else lat.shape
+        noise = jnp.broadcast_to(
+            jax.random.normal(nkey, nshape, dtype=jnp.float32), lat.shape)
         lat_next, x0 = sampler_step(tables, lat, eps, i, noise)
         ys = (lat_next, x0) if return_all else x0
         return (lat_next, key), ys

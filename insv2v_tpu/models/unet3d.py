@@ -334,14 +334,25 @@ class VersatileAttention(nn.Module):
     head_dim: int
     max_len: int = 32
     dtype: jnp.dtype = jnp.float32
+    # time_minor: x arrives as (B, P, F, C) instead of (B, F, P, C). The
+    # TPU MotionModule keeps its whole residual stream in that layout so
+    # the packed attention needs only a LOCAL (f, heads) transpose per
+    # q/k/v instead of moving the large P axis on every pack/unpack
+    # (VERDICT r2 #1b: one relayout per MotionModule, not two per block).
+    time_minor: bool = False
 
     @nn.compact
     def __call__(self, x, video_start_index):
-        b, f, p, c = x.shape
+        if self.time_minor:
+            b, p, f, c = x.shape
+            pe_bc = lambda s: s[None, None, :, :]
+        else:
+            b, f, p, c = x.shape
+            pe_bc = lambda s: s[None, :, None, :]
         pe = jnp.asarray(
             temporal_positional_encoding_table(c, self.max_len)
         )
-        x = x + temporal_pe_slice(pe, video_start_index, f)[None, :, None, :].astype(x.dtype)
+        x = x + pe_bc(temporal_pe_slice(pe, video_start_index, f)).astype(x.dtype)
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
@@ -357,9 +368,14 @@ class VersatileAttention(nn.Module):
             # the two-free-dim contraction back into small matmuls. The
             # explicit transpose + merged m axis below is the fast form.
             m = self.heads * f
-            pack = lambda t: t.reshape(b, f, p, self.heads, self.head_dim
-                                       ).transpose(0, 2, 3, 1, 4
-                                       ).reshape(b, p, m, self.head_dim)
+            if self.time_minor:
+                pack = lambda t: t.reshape(b, p, f, self.heads, self.head_dim
+                                           ).transpose(0, 1, 3, 2, 4
+                                           ).reshape(b, p, m, self.head_dim)
+            else:
+                pack = lambda t: t.reshape(b, f, p, self.heads, self.head_dim
+                                           ).transpose(0, 2, 3, 1, 4
+                                           ).reshape(b, p, m, self.head_dim)
             qh, kh, vh = pack(q), pack(k), pack(v)
             head_id = jnp.arange(m) // f
             mask = jnp.where(head_id[:, None] == head_id[None, :], 0.0,
@@ -370,18 +386,32 @@ class VersatileAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
             o = jnp.einsum("bpmn,bpne->bpme", probs, vh,
                            preferred_element_type=jnp.float32).astype(x.dtype)
-            o = o.reshape(b, p, self.heads, f, self.head_dim
-                          ).transpose(0, 3, 1, 2, 4).reshape(b, f, p, inner)
+            oh = o.reshape(b, p, self.heads, f, self.head_dim)
+            if self.time_minor:
+                o = oh.transpose(0, 1, 3, 2, 4).reshape(b, p, f, inner)
+            else:
+                o = oh.transpose(0, 3, 1, 2, 4).reshape(b, f, p, inner)
         else:
-            split = lambda t: t.reshape(b, f, p, self.heads, self.head_dim)
-            qh, kh, vh = split(q), split(k), split(v)
-            logits = jnp.einsum("bfphe,bgphe->bphfg", qh, kh,
-                                preferred_element_type=jnp.float32)
-            logits = logits * scale
-            probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-            o = jnp.einsum("bphfg,bgphe->bfphe", probs, vh,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
-            o = o.reshape(b, f, p, inner)
+            if self.time_minor:
+                split = lambda t: t.reshape(b, p, f, self.heads, self.head_dim)
+                qh, kh, vh = split(q), split(k), split(v)
+                logits = jnp.einsum("bpfhe,bpghe->bphfg", qh, kh,
+                                    preferred_element_type=jnp.float32)
+                logits = logits * scale
+                probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+                o = jnp.einsum("bphfg,bpghe->bpfhe", probs, vh,
+                               preferred_element_type=jnp.float32).astype(x.dtype)
+                o = o.reshape(b, p, f, inner)
+            else:
+                split = lambda t: t.reshape(b, f, p, self.heads, self.head_dim)
+                qh, kh, vh = split(q), split(k), split(v)
+                logits = jnp.einsum("bfphe,bgphe->bphfg", qh, kh,
+                                    preferred_element_type=jnp.float32)
+                logits = logits * scale
+                probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+                o = jnp.einsum("bphfg,bgphe->bfphe", probs, vh,
+                               preferred_element_type=jnp.float32).astype(x.dtype)
+                o = o.reshape(b, f, p, inner)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(o)
 
 
@@ -393,6 +423,7 @@ class TemporalTransformerBlock(nn.Module):
     attention_block_types: Tuple[str, ...]
     max_len: int
     dtype: jnp.dtype = jnp.float32
+    time_minor: bool = False  # see VersatileAttention: stream is (B,P,F,C)
 
     @nn.compact
     def __call__(self, x, video_start_index):
@@ -403,7 +434,8 @@ class TemporalTransformerBlock(nn.Module):
             h = LayerNorm(name=f"norms_{i}")(x)
             x = x + VersatileAttention(
                 self.heads, self.head_dim, max_len=self.max_len,
-                dtype=self.dtype, name=f"attention_blocks_{i}",
+                dtype=self.dtype, time_minor=self.time_minor,
+                name=f"attention_blocks_{i}",
             )(h, video_start_index)
         return _ff_residual_block(self, x, "ff_norm", "motion_ff")
 
@@ -427,14 +459,24 @@ class MotionModule(nn.Module):
         # per-frame GN stats (motion_module.py:131-136), eps 1e-6
         xf = x.reshape(b * f, h, w, c)
         xf = GroupNorm(self.num_groups, eps=1e-6, name="norm")(xf)
-        # stay in (B, F, P, C): temporal attention runs transpose-free
         seq = xf.reshape(b, f, h * w, c)
         seq = nn.Dense(c, dtype=self.dtype, name="proj_in")(seq)
+        # On the packed-TPU path the residual stream lives in (B, P, F, C)
+        # across ALL transformer blocks: ONE big (f,p) relayout in and one
+        # out per MotionModule, with only cheap local (f,heads) transposes
+        # inside each attention, instead of moving the P axis 8x per block
+        # (LN/Dense/FF are last-axis ops — layout-agnostic, same params).
+        tm = _packed_temporal_attention()
+        if tm:
+            seq = seq.transpose(0, 2, 1, 3)  # (B, P, F, C)
         for i in range(self.num_transformer_block):
             seq = TemporalTransformerBlock(
                 self.heads, head_dim, self.attention_block_types, self.max_len,
-                dtype=self.dtype, name=f"transformer_blocks_{i}",
+                dtype=self.dtype, time_minor=tm,
+                name=f"transformer_blocks_{i}",
             )(seq, video_start_index)
+        if tm:
+            seq = seq.transpose(0, 2, 1, 3)  # back to (B, F, P, C)
         seq = nn.Dense(c, dtype=self.dtype, name="proj_out",
                        kernel_init=nn.initializers.zeros)(seq)
         return seq.reshape(b, f, h, w, c) + residual

@@ -126,6 +126,12 @@ def flash_attention(
         nblk = -(-s // target)
         return min(target, _round_up(-(-s // nblk), 128))
 
+    if not interpret:
+        try:  # Mosaic only lowers on TPU; everywhere else interpret
+            interpret = jax.default_backend() != "tpu"
+        except RuntimeError:  # pragma: no cover
+            interpret = True
+
     b, h, sq, d = q.shape
     sk = k.shape[2]
     blk_q = pick_block(sq, blk_q)
@@ -192,6 +198,11 @@ _FLASH_DISABLED = _os.environ.get("INSV2V_FLASH", "1") == "0"
 # resident for the level-0 S=1536 spatial attention)
 _FLASH_BLK_Q = int(_os.environ.get("INSV2V_FLASH_BLKQ", "768"))
 _FLASH_BLK_K = int(_os.environ.get("INSV2V_FLASH_BLKK", "1536"))
+# INSV2V_FLASH_INTERPRET=1: dispatch to the Pallas kernels (flash here,
+# fused FF in ops/fused_ff.py) even off-TPU, running them in Pallas
+# interpret mode — lets the CPU-mesh sharding tests cover the KERNEL code
+# paths instead of the XLA fallbacks (tests/test_sharded_kernels.py).
+_FLASH_INTERPRET = _os.environ.get("INSV2V_FLASH_INTERPRET", "0") == "1"
 
 
 def _on_tpu() -> bool:
@@ -214,7 +225,7 @@ def dot_attention(
     if use_flash is None:
         use_flash = (
             not _FLASH_DISABLED
-            and _on_tpu()
+            and (_on_tpu() or _FLASH_INTERPRET)
             and q.shape[2] >= _FLASH_MIN_SEQ
             and k.shape[2] >= _FLASH_MIN_SEQ
         )
@@ -243,7 +254,7 @@ def dot_attention_bshd(
     if use_flash is None:
         use_flash = (
             not _FLASH_DISABLED
-            and _on_tpu()
+            and (_on_tpu() or _FLASH_INTERPRET)
             and q.shape[1] >= _FLASH_MIN_SEQ
             and k.shape[1] >= _FLASH_MIN_SEQ
         )

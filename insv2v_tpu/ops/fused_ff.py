@@ -258,6 +258,9 @@ def _ff_bwd(eps, res, g):
 _ff_with_vjp.defvjp(_ff_fwd, _ff_bwd)
 
 _FUSED_FF = _os.environ.get("INSV2V_FUSED_FF", "1") != "0"
+# shared with ops/attention.py: dispatch to the kernel off-TPU in
+# interpret mode so sharded CPU-mesh tests cover the kernel path
+_PALLAS_INTERPRET = _os.environ.get("INSV2V_FLASH_INTERPRET", "0") == "1"
 
 
 def _on_tpu() -> bool:
@@ -275,6 +278,6 @@ def geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps: float = 1e-5):
     tiny test-sized widths fall back to the XLA path.
     """
     inner = w2.shape[0]
-    if _FUSED_FF and _on_tpu() and inner % 128 == 0:
+    if _FUSED_FF and (_on_tpu() or _PALLAS_INTERPRET) and inner % 128 == 0:
         return _ff_with_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
     return geglu_ff_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)

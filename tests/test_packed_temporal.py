@@ -39,3 +39,48 @@ def test_packed_matches_plain_full_heads():
     out = _run(packed=True, b=1, f=16, p=8, c=64, heads=8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_motion_module_time_minor_matches_plain():
+    """The packed path now carries the MotionModule stream as (B, P, F, C)
+    (one relayout per module); forced on vs off must agree with the SAME
+    params (layouts don't touch param names — last-axis Dense/LN/FF)."""
+    from insv2v_tpu.models.unet3d import MotionModule
+
+    def run(packed):
+        old = unet3d._PACKED_TEMPORAL
+        unet3d._PACKED_TEMPORAL = "1" if packed else "0"
+        try:
+            mod = MotionModule(heads=4, num_transformer_block=1,
+                               attention_block_types=("Temporal_Self",
+                                                      "Temporal_Self"),
+                               max_len=32, num_groups=4)
+            x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 4, 6, 16))
+            params = mod.init(jax.random.PRNGKey(1), x, 0)
+            return mod.apply(params, x, 3)
+        finally:
+            unet3d._PACKED_TEMPORAL = old
+
+    np.testing.assert_allclose(np.asarray(run(True)), np.asarray(run(False)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_versatile_attention_time_minor_layouts_agree():
+    """time_minor=True on transposed input == time_minor=False, both
+    packed and per-head einsum paths (same params)."""
+    for packed in (False, True):
+        old = unet3d._PACKED_TEMPORAL
+        unet3d._PACKED_TEMPORAL = "1" if packed else "0"
+        try:
+            x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 24, 16))
+            ref_mod = VersatileAttention(heads=4, head_dim=4, max_len=32)
+            params = ref_mod.init(jax.random.PRNGKey(1), x, 0)
+            ref = ref_mod.apply(params, x, 2)
+            tm_mod = VersatileAttention(heads=4, head_dim=4, max_len=32,
+                                        time_minor=True)
+            out = tm_mod.apply(params, x.transpose(0, 2, 1, 3), 2)
+            np.testing.assert_allclose(
+                np.asarray(out.transpose(0, 2, 1, 3)), np.asarray(ref),
+                rtol=1e-5, atol=1e-6, err_msg=f"packed={packed}")
+        finally:
+            unet3d._PACKED_TEMPORAL = old

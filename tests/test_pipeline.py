@@ -104,3 +104,18 @@ def test_flow_estimator_raft_requires_weights(monkeypatch):
         est = get_flow_estimator("auto")
     assert isinstance(est, FarnebackFlow)
     assert any("Farneback" in str(w.message) for w in caught)
+
+
+def test_batched_prompts_match_solo(editor):
+    """A list of edit prompts runs one B=len(prompts) denoise chain whose
+    element k reproduces the solo call with the same seed (shared init
+    noise + share_batch_noise step noise), incl. the DDPM stochastic path
+    and multi-window chaining."""
+    frames = video(10)
+    kw = dict(frames_per_window=6, num_ref_frames=2, seed=3)
+    batched = editor(frames, ["red car", "van gogh style"], **kw)
+    assert batched.shape == (2, 10, 32, 32, 3)
+    solo_a = editor(frames, "red car", **kw)
+    solo_b = editor(frames, "van gogh style", **kw)
+    np.testing.assert_allclose(batched[0], solo_a, atol=2e-5)
+    np.testing.assert_allclose(batched[1], solo_b, atol=2e-5)
