@@ -85,7 +85,7 @@ HEIGHT = int(os.environ.get("BENCH_H", "256"))
 WIDTH = int(os.environ.get("BENCH_W", "384"))
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
-BATCH = int(os.environ.get("BENCH_B", "4"))
+BATCH = int(os.environ.get("BENCH_B", "2"))
 E2E = os.environ.get("BENCH_E2E", "1") != "0"
 WINDOW = 16
 NUM_REF = 4

@@ -42,10 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-index", type=int, default=0)
     p.add_argument("--flow-estimator", default="auto",
                    choices=["auto", "farneback", "raft", "zero"])
-    p.add_argument("--batch-edits", type=int, default=4,
+    p.add_argument("--batch-edits", type=int, default=1,
                    help="how many of a video's edit prompts share one "
-                   "denoise chain (they share image conditioning; 1 = "
-                   "the reference's sequential behaviour)")
+                   "denoise chain (they share image conditioning). "
+                   "Default 1: v5e A/B showed the chip is saturated at "
+                   "the CFG-triple already — batching LOSES 6-17% "
+                   "per-frame throughput (PERF.md r3); scale across "
+                   "chips with --num-shards instead")
     return p
 
 

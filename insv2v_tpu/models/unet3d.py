@@ -58,6 +58,9 @@ _ABLATE = frozenset(
 # (keeps the CPU golden snapshots bit-exact while the TPU path takes the
 # MXU-shaped formulation — see VersatileAttention docstring).
 _PACKED_TEMPORAL = _os.environ.get("INSV2V_PACKED_TEMPORAL", "")
+# INSV2V_TIME_MINOR=0: keep the packed attention but disable the
+# (B, P, F, C) resident MotionModule layout (perf A/B only)
+_TIME_MINOR = _os.environ.get("INSV2V_TIME_MINOR", "1") != "0"
 
 
 def _packed_temporal_attention() -> bool:
@@ -380,8 +383,16 @@ class VersatileAttention(nn.Module):
             head_id = jnp.arange(m) // f
             mask = jnp.where(head_id[:, None] == head_id[None, :], 0.0,
                              -jnp.inf).astype(jnp.float32)
+            # the (B, P, m, m) logits are the temporal region's largest
+            # HBM tensor (302 MB/layer at the production shape);
+            # INSV2V_ATTN_LOGITS_BF16=1 stores them bf16 (see
+            # ops/attention.py) — softmax still runs f32 after upcast
+            from insv2v_tpu.ops.attention import _LOGITS_BF16
+
+            acc_dt = jnp.bfloat16 if _LOGITS_BF16 else jnp.float32
             logits = jnp.einsum("bpme,bpne->bpmn", qh, kh,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=acc_dt
+                                ).astype(jnp.float32)
             logits = logits * scale + mask
             probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
             o = jnp.einsum("bpmn,bpne->bpme", probs, vh,
@@ -466,7 +477,7 @@ class MotionModule(nn.Module):
         # out per MotionModule, with only cheap local (f,heads) transposes
         # inside each attention, instead of moving the P axis 8x per block
         # (LN/Dense/FF are last-axis ops — layout-agnostic, same params).
-        tm = _packed_temporal_attention()
+        tm = _packed_temporal_attention() and _TIME_MINOR
         if tm:
             seq = seq.transpose(0, 2, 1, 3)  # (B, P, F, C)
         for i in range(self.num_transformer_block):

@@ -38,6 +38,10 @@ except ImportError:  # pragma: no cover
 
 __all__ = ["attention", "flash_attention", "dot_attention"]
 
+import os as _os_top
+
+_LOGITS_BF16 = _os_top.environ.get("INSV2V_ATTN_LOGITS_BF16", "0") == "1"
+
 
 def attention(
     q: jnp.ndarray,
@@ -46,12 +50,21 @@ def attention(
     scale: Optional[float] = None,
     bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Plain attention with f32 logits and softmax; output in q.dtype."""
+    """Plain attention with f32 softmax; output in q.dtype.
+
+    Logits are stored f32 by default. INSV2V_ATTN_LOGITS_BF16=1 stores
+    them bf16 (MXU still accumulates f32 internally; softmax still runs
+    f32 after an in-register upcast) — halves the logits HBM round trip
+    on the XLA attention paths at the cost of ~bf16-resolution logit
+    quantization (~e^0.03 relative prob error at |logit|<=8). Perf lever
+    measured in PERF.md; OFF by default to keep oracle-exact numerics.
+    """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    acc_dt = jnp.bfloat16 if _LOGITS_BF16 else jnp.float32
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    )
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=acc_dt
+    ).astype(jnp.float32)
     logits = logits * jnp.float32(scale)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)

@@ -29,6 +29,9 @@ __all__ = ["group_norm", "layer_norm"]
 import os as _os0
 
 _GN_MATMUL_STATS = _os0.environ.get("INSV2V_GN_MATMUL_STATS", "1") != "0"
+# A/B switch: 0 reverts to bf16 x*x squaring (cheaper by one contraction,
+# but (mean/std)^2-amplified variance error — see _group_norm_matmul_stats)
+_GN_EXACT_SQ = _os0.environ.get("INSV2V_GN_EXACT_SQ", "1") != "0"
 
 
 def _on_tpu() -> bool:
@@ -80,7 +83,7 @@ def _group_norm_matmul_stats(x, scale, bias, num_groups, eps, reduce_axes):
                     preferred_element_type=jnp.float32)
     contract = lambda t: jnp.einsum("rkc,k->rc", t, ones.astype(t.dtype),
                                     preferred_element_type=jnp.float32)
-    if x.dtype == jnp.bfloat16:
+    if x.dtype == jnp.bfloat16 and _GN_EXACT_SQ:
         # exact square in f32 (bf16*bf16 fits f32), hi/lo-split back to
         # bf16 so both contractions stay on the bf16 MXU path
         sq = x2.astype(jnp.float32) ** 2

@@ -297,3 +297,27 @@ def test_group_norm_matmul_stats_bf16():
                          reduce_axes=(1, 2))
         err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
         assert err.max() < 0.03, (mean_mag, err.max())
+
+
+def test_attention_bf16_logits_mode():
+    """INSV2V_ATTN_LOGITS_BF16 stores logits bf16 (perf lever, PERF.md r3);
+    output must stay within bf16-logit quantization of the f32 path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from insv2v_tpu.ops import attention as am
+
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (2, 3, 32, 16), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (2, 3, 32, 16), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (2, 3, 32, 16), jnp.bfloat16)
+    ref = am.attention(q, k, v)
+    old = am._LOGITS_BF16
+    am._LOGITS_BF16 = True
+    try:
+        out = am.attention(q, k, v)
+    finally:
+        am._LOGITS_BF16 = old
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 0.05, err.max()

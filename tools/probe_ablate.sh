@@ -12,5 +12,6 @@ ablate=""
 [ "$spec" != "none" ] && ablate="$spec"
 echo "=== ablate=$spec ${env_extra[*]:-} ==="
 env INSV2V_ABLATE="$ablate" BENCH_FRAMES=16 BENCH_STEPS=10 BENCH_REPS=2 \
+  BENCH_E2E="${BENCH_E2E:-0}" BENCH_B="${BENCH_B:-0}" \
   BENCH_MFU="${BENCH_MFU:-0}" ${env_extra[@]+"${env_extra[@]}"} python bench.py 2>&1 | \
-  grep -E "denoise-chain|step flops|mfu|metric" | sed "s/^/[$spec] /"
+  grep -E "edit times|denoise-chain|step flops|mfu|metric" | sed "s/^/[$spec] /"
