@@ -67,8 +67,8 @@ def _compiled_flops(jitted, *args) -> float:
     a whole sampler chain — cost a single denoise step and multiply by the
     step count (the round-1 bench under-reported MFU ~50x this way). It
     also cannot see inside Pallas kernels (flash attention + fused FF), so
-    the reported MFU UNDERCOUNTS by their FLOPs (PERF.md: true ~41-43%
-    when reported ~30%).
+    callers cost the step with the kernels dispatched to their XLA
+    fallbacks (same math, same matmuls => same FLOPs, all visible).
     """
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
@@ -292,7 +292,22 @@ def main():
         lat1 = jnp.zeros((1, WINDOW, h, w, 4), jnp.float32)
         cond1 = jnp.zeros((1, WINDOW, h, w, 4), jnp.float32)
         tc1 = jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.bfloat16)
-        step_flops = _compiled_flops(one_step, params, lat1, cond1, tc1, tc1)
+        # cost the step with the Pallas kernels dispatched to their XLA
+        # fallbacks: cost_analysis can't see inside custom calls, so the
+        # r2 bench under-reported MFU by the flash+fused-FF FLOPs
+        # (0.30 reported vs ~0.42 true — PERF.md). The fallback graph
+        # computes the same matmuls, so its count IS the step's FLOPs.
+        # (Counts FLOPs as issued, incl. the 8x-padded packed temporal
+        # matmuls — the graph that actually runs.)
+        from insv2v_tpu.ops import attention as _att
+        from insv2v_tpu.ops import fused_ff as _fff
+
+        _saved = (_att._FLASH_DISABLED, _fff._FUSED_FF)
+        _att._FLASH_DISABLED, _fff._FUSED_FF = True, False
+        try:
+            step_flops = _compiled_flops(one_step, params, lat1, cond1, tc1, tc1)
+        finally:
+            _att._FLASH_DISABLED, _fff._FUSED_FF = _saved
     total_flops = step_flops * STEPS * len(windows)
     peak = _peak_tflops(dev)
     denoise_wall = NUM_FRAMES / denoise_fps if denoise_fps else None

@@ -384,12 +384,12 @@ class VersatileAttention(nn.Module):
             mask = jnp.where(head_id[:, None] == head_id[None, :], 0.0,
                              -jnp.inf).astype(jnp.float32)
             # the (B, P, m, m) logits are the temporal region's largest
-            # HBM tensor (302 MB/layer at the production shape);
-            # INSV2V_ATTN_LOGITS_BF16=1 stores them bf16 (see
+            # HBM tensor (302 MB/layer at the production shape); stored
+            # bf16 on TPU (~5.5% end-to-end, PERF.md r3; see
             # ops/attention.py) — softmax still runs f32 after upcast
-            from insv2v_tpu.ops.attention import _LOGITS_BF16
+            from insv2v_tpu.ops.attention import logits_bf16
 
-            acc_dt = jnp.bfloat16 if _LOGITS_BF16 else jnp.float32
+            acc_dt = jnp.bfloat16 if logits_bf16() else jnp.float32
             logits = jnp.einsum("bpme,bpne->bpmn", qh, kh,
                                 preferred_element_type=acc_dt
                                 ).astype(jnp.float32)

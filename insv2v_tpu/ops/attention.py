@@ -40,7 +40,19 @@ __all__ = ["attention", "flash_attention", "dot_attention"]
 
 import os as _os_top
 
-_LOGITS_BF16 = _os_top.environ.get("INSV2V_ATTN_LOGITS_BF16", "0") == "1"
+# bf16 logits storage on the XLA attention paths. Default: ON on TPU
+# (r3 A/B/A: 2.08/1.96/2.06 s probe => ~5.5% end-to-end win — the packed
+# temporal (B,P,128,128) logits/probs round trip is the temporal region's
+# largest HBM term), OFF elsewhere (CPU oracle/golden tests stay exact).
+# INSV2V_ATTN_LOGITS_BF16=0/1 overrides either way. None = auto.
+_raw_lb16 = _os_top.environ.get("INSV2V_ATTN_LOGITS_BF16")
+_LOGITS_BF16 = None if _raw_lb16 is None else _raw_lb16 == "1"
+
+
+def logits_bf16() -> bool:
+    if _LOGITS_BF16 is not None:
+        return _LOGITS_BF16
+    return _on_tpu()
 
 
 def attention(
@@ -52,16 +64,16 @@ def attention(
 ) -> jnp.ndarray:
     """Plain attention with f32 softmax; output in q.dtype.
 
-    Logits are stored f32 by default. INSV2V_ATTN_LOGITS_BF16=1 stores
-    them bf16 (MXU still accumulates f32 internally; softmax still runs
-    f32 after an in-register upcast) — halves the logits HBM round trip
-    on the XLA attention paths at the cost of ~bf16-resolution logit
-    quantization (~e^0.03 relative prob error at |logit|<=8). Perf lever
-    measured in PERF.md; OFF by default to keep oracle-exact numerics.
+    Logits are stored bf16 on TPU by default (MXU still accumulates f32
+    internally; softmax still runs f32 after an in-register upcast) —
+    halves the logits HBM round trip on the XLA attention paths at the
+    cost of ~bf16-resolution logit quantization (~e^0.03 relative prob
+    error at |logit|<=8; ~5.5% end-to-end win, PERF.md r3). f32 off-TPU
+    (oracle-exact); INSV2V_ATTN_LOGITS_BF16 overrides (see logits_bf16).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    acc_dt = jnp.bfloat16 if _LOGITS_BF16 else jnp.float32
+    acc_dt = jnp.bfloat16 if logits_bf16() else jnp.float32
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=acc_dt
     ).astype(jnp.float32)
