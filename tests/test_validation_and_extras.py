@@ -141,3 +141,71 @@ def test_gradio_handler_headless(tmp_path, monkeypatch):
 
     gif = load_gif(out)
     assert gif.shape[0] == 4 and gif.shape[2] == 64  # original|edited concat
+
+
+def test_web_demo_served(tmp_path, monkeypatch):
+    """The stdlib web UI actually SERVES: form page up, multipart video
+    upload in, side-by-side GIF result out — the reference's gradio flow
+    (gradio_demo.py:28-243) without the gradio dependency."""
+    import io
+    import threading
+    import urllib.request
+    import uuid
+
+    import cv2
+
+    from tests.test_apps import _patch_tiny_text_model, write_tiny_config
+
+    cfg = write_tiny_config(tmp_path)
+    _patch_tiny_text_model(monkeypatch)
+    mp4 = str(tmp_path / "in.mp4")
+    vw = cv2.VideoWriter(mp4, cv2.VideoWriter_fourcc(*"mp4v"), 8, (48, 48))
+    rs = np.random.RandomState(0)
+    for _ in range(8):
+        vw.write((rs.rand(48, 48, 3) * 255).astype(np.uint8))
+    vw.release()
+
+    from insv2v_tpu.apps import gradio_demo, web_demo
+
+    monkeypatch.setattr(gradio_demo, "_EDITOR", None)
+    args = web_demo.build_parser().parse_args(
+        ["--config", cfg, "--scheduler", "ddim", "--steps", "2",
+         "--image-size", "32", "--num-frames", "4", "--port", "0",
+         "--allow-random-weights"])
+    server = web_demo.make_server(args)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10).read().decode()
+        assert "edit instruction" in page and "Van Gogh" in page
+
+        boundary = uuid.uuid4().hex
+        body = io.BytesIO()
+        for name, value, fname, ctype in [
+            ("video", open(mp4, "rb").read(), "in.mp4", "video/mp4"),
+            ("prompt", b"make it snowy", None, None),
+            ("text_cfg", b"7.5", None, None),
+            ("seed", b"0", None, None),
+        ]:
+            body.write(f"--{boundary}\r\n".encode())
+            disp = f'form-data; name="{name}"'
+            if fname:
+                disp += f'; filename="{fname}"'
+            body.write(f"Content-Disposition: {disp}\r\n".encode())
+            if ctype:
+                body.write(f"Content-Type: {ctype}\r\n".encode())
+            body.write(b"\r\n")
+            body.write(value if isinstance(value, bytes) else value.encode())
+            body.write(b"\r\n")
+        body.write(f"--{boundary}--\r\n".encode())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/edit", data=body.getvalue(),
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        resp = urllib.request.urlopen(req, timeout=600).read().decode()
+        assert "data:image/gif;base64," in resp
+    finally:
+        server.shutdown()
+        server.server_close()
