@@ -68,8 +68,12 @@ def main():
         "text": jax.eval_shape(
             lambda k: text.init(k, jnp.zeros((1, 77), jnp.int32)), rng),
     }
-    const = lambda tree, dt=None: jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.02, dt or s.dtype), tree)
+    # ONE jitted builder per tree = one relay dispatch (the per-leaf
+    # eager jnp.full loop was 64 s of warmup through the relay — same
+    # fix as bench.py's const_params, PERF.md r3)
+    const = lambda tree, dt=None: jax.block_until_ready(jax.jit(
+        lambda: jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.02, dt or s.dtype), tree))())
     # Frozen weights live in bf16: they are consumed in bf16 by every
     # matmul anyway and are never updated, so an f32 master copy is pure
     # HBM waste (~3.8 GB at this scale — the difference between fitting
@@ -78,10 +82,11 @@ def main():
 
     unet_shapes = shapes["unet"]["params"]
     mask = motion_param_mask(unet_shapes)
-    unet_p = jax.tree_util.tree_map(
-        lambda s, m: jnp.full(s.shape, 0.02,
-                              s.dtype if m else jnp.bfloat16),
-        unet_shapes, mask)
+    unet_p = jax.block_until_ready(jax.jit(
+        lambda: jax.tree_util.tree_map(
+            lambda s, m: jnp.full(s.shape, 0.02,
+                                  s.dtype if m else jnp.bfloat16),
+            unet_shapes, mask))())
     vae_p = const(shapes["vae"], jnp.bfloat16)["params"]
     text_p = const(shapes["text"], jnp.bfloat16)["params"]
     n_params = sum(int(np.prod(s.shape))
@@ -96,10 +101,18 @@ def main():
     def make_batch(seed):
         k = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(k)
-        shape = (accum, frames, size, size, 3)
+        # CHANNEL-PACKED (accum, F, H, W*3): a channel-minor (.., W, 3)
+        # jit parameter is padded ~5x in HBM by the (sublane, lane)
+        # tiling — at accum 256 the two videos alone overflowed the v5e
+        # by 21 GB of pure padding. The packed form is lane-aligned; the
+        # trainer unpacks per microbatch inside the step. bf16 at rest:
+        # source pixels are 8-bit and the VAE casts to bf16 at its first
+        # conv anyway, so f32 feeding doubles HBM (and left an extra
+        # full-batch bf16 convert temp) for zero effective precision.
+        shape = (accum, frames, size, size * 3)
         return {
-            "input_video": jax.random.uniform(k1, shape, jnp.float32, -1, 1),
-            "edited_video": jax.random.uniform(k2, shape, jnp.float32, -1, 1),
+            "input_video": jax.random.uniform(k1, shape, jnp.bfloat16, -1, 1),
+            "edited_video": jax.random.uniform(k2, shape, jnp.bfloat16, -1, 1),
             "prompt_ids": jnp.ones((accum, 77), jnp.int32),
         }
 

@@ -88,12 +88,15 @@ def main(argv=None):
             frame_skip = max(1, total // num_frames)
             frames = item["frames"][::frame_skip][:num_frames]
             # All 4 edit types of a video share its image conditioning, so
-            # they run as ONE prompt-batched denoise chain (B=4 video
-            # batch => 12 with the CFG triple) instead of the reference's 4
-            # sequential chains (insv2v_run_loveu_tgve.py:83-101) — the
-            # single biggest single-chip throughput lever on TPU. Partial
-            # resumes batch only the missing prompts (a smaller batch
-            # compiles its own sampler variant; --batch-edits 1 disables).
+            # --batch-edits N>1 runs them as ONE prompt-batched denoise
+            # chain (B=N video batch => 3N with the CFG triple) instead of
+            # the reference's sequential chains
+            # (insv2v_run_loveu_tgve.py:83-101). Measured on the v5e this
+            # LOSES 6-19% per-frame throughput (the chip saturates at the
+            # CFG triple — PERF.md r3), so the default is the reference's
+            # serial order; the batched path exists for pod-slice meshes
+            # where per-chip batch shrinks. Partial resumes batch only the
+            # missing prompts.
             pending, tags = [], []
             for prompt_key in LoveuTgveVideoDataset.EDIT_KEYS:
                 tag = (f"{video_name}-{prompt_key}-tcfg{text_cfg}-"

@@ -70,9 +70,20 @@ def batch_iterator(dataset, batch_size: int, prompt_type: str, tokenizer, rng):
         else:
             key = keys[prompt_type]
         prompts = [it[key] for it in items]
+        # videos ship CHANNEL-PACKED (B, F, H, W*3) and bf16: the
+        # channel-minor (.., W, 3) layout is tile-padded ~5x in device
+        # HBM (an accum-256 batch OOMs a v5e on padding alone —
+        # trainer.py docstring) and f32 doubles it again for nothing
+        # (pixels are 8-bit at source; the VAE casts to bf16 at conv 1).
+        # The trainer unpacks per microbatch inside the step.
+        import ml_dtypes
+
+        pack = lambda v: v.reshape(
+            v.shape[:-2] + (v.shape[-2] * v.shape[-1],)
+        ).astype(ml_dtypes.bfloat16)
         yield {
-            "input_video": np.stack([it["input_video"] for it in items]),
-            "edited_video": np.stack([it["edited_video"] for it in items]),
+            "input_video": pack(np.stack([it["input_video"] for it in items])),
+            "edited_video": pack(np.stack([it["edited_video"] for it in items])),
             "prompt_ids": tokenizer(prompts),
         }
 
@@ -225,7 +236,11 @@ def main(argv=None):
             print(f"step {step}: loss={loss:.4f} ({dt:.1f}s)")
         if validate is not None and step % val_every == 0 and proc0:
             n = tcfg.accumulate_grad_batches  # one microbatch worth
-            vb = {k: v[: max(1, v.shape[0] // n)]
+            unpack = lambda v: (  # channel-packed bf16 -> f32 (B,F,H,W,3)
+                v.reshape(v.shape[:3] + (v.shape[3] // 3, 3))
+                .astype(np.float32) if v.ndim == 4 else v)
+            vb = {k: (unpack(v) if k.endswith("_video") else v)
+                  [: max(1, v.shape[0] // n)]
                   for k, v in local_batch.items()}
             out = validate(state, vb, jax.random.fold_in(rng, step))
             path = save_preview_grid(vb, np.asarray(out["pred"]),

@@ -121,6 +121,14 @@ class Trainer:
 
     With accumulation, the leading dim is (accum * B) and the step scans
     over ``accum`` microbatches of B.
+
+    Videos may instead arrive CHANNEL-PACKED as (B, F, H, W*3): TPU HBM
+    tiles the two minor dims, so a channel-minor (.., W, 3) jit parameter
+    is padded ~5x at rest (an accum-256 batch OOMs a 16 GB v5e on padding
+    alone — bench_train.py). The packed form is lane-aligned (W*3 is a
+    128-multiple for production widths); each microbatch is unpacked
+    inside the step right before the VAE, so only one microbatch ever
+    exists in the padded layout.
     """
 
     def __init__(self, unet, vae, text_encoder, cfg: TrainConfig = TrainConfig(),
@@ -177,6 +185,11 @@ class Trainer:
     def _microbatch_loss(self, params, state: TrainState, micro: Dict, rng):
         cfg = self.cfg
         r_cond, r_drop, r_eps, r_t, r_enc1, r_enc2 = jax.random.split(rng, 6)
+        unpack = lambda v: (  # channel-packed (B,F,H,W*3) -> (B,F,H,W,3)
+            v.reshape(v.shape[:3] + (v.shape[3] // 3, 3)) if v.ndim == 4 else v)
+        micro = dict(micro,
+                     input_video=unpack(micro["input_video"]),
+                     edited_video=unpack(micro["edited_video"]))
         b, f = micro["input_video"].shape[:2]
         flat = lambda v: v.reshape((b * f,) + v.shape[2:])
         unflat = lambda v: v.reshape((b, f) + v.shape[1:])

@@ -109,3 +109,26 @@ def test_loss_decreases_over_steps(setup):
         s, m = step(s, b, jax.random.PRNGKey(42))  # fixed data + rng
         losses.append(float(m["train_loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_channel_packed_batch_matches_unpacked(setup):
+    """TPU feeding layout: videos as (B, F, H, W*3) — lane-aligned, no
+    HBM tile padding at rest (an accum-256 batch in channel-minor layout
+    OOMed the v5e on padding alone). Same data packed vs unpacked must
+    produce identical loss and parameters."""
+    trainer, make_state = setup
+    b = batch()
+    packed = dict(
+        b,
+        input_video=b["input_video"].reshape(16, 2, 16, 16 * 3),
+        edited_video=b["edited_video"].reshape(16, 2, 16, 16 * 3),
+    )
+    step = trainer.jitted_step(make_state())
+    s1, m1 = step(make_state(), b, jax.random.PRNGKey(7))
+    s2, m2 = step(make_state(), packed, jax.random.PRNGKey(7))
+    assert np.allclose(float(m1["train_loss"]), float(m2["train_loss"]),
+                       rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, c in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
