@@ -70,10 +70,24 @@ def main():
     }
     # ONE jitted builder per tree = one relay dispatch (the per-leaf
     # eager jnp.full loop was 64 s of warmup through the relay — same
-    # fix as bench.py's const_params, PERF.md r3)
-    const = lambda tree, dt=None: jax.block_until_ready(jax.jit(
-        lambda: jax.tree_util.tree_map(
-            lambda s: jnp.full(s.shape, 0.02, dt or s.dtype), tree))())
+    # fix as bench.py's const_params, PERF.md r3). Leaves are RANDOM
+    # N(0, 0.02): with constant weights every conv output channel is
+    # identical, so GroupNorm's group variance is ~0 and normalization
+    # divides bf16 noise by noise — the accum-256 run went NaN that way.
+    # Device-side normals cost ~nothing and keep the loss finite.
+    def _rand_tree(tree, dtype_of):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+
+        def build():
+            ks = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+            return jax.tree_util.tree_unflatten(treedef, [
+                (0.02 * jax.random.normal(k, s.shape)).astype(dtype_of(s, i))
+                for i, (k, s) in enumerate(zip(ks, leaves))])
+
+        return jax.block_until_ready(jax.jit(build)())
+
+    const = lambda tree, dt=None: _rand_tree(
+        tree, lambda s, i: dt or s.dtype)
     # Frozen weights live in bf16: they are consumed in bf16 by every
     # matmul anyway and are never updated, so an f32 master copy is pure
     # HBM waste (~3.8 GB at this scale — the difference between fitting
@@ -81,12 +95,10 @@ def main():
     from insv2v_tpu.training.trainer import motion_param_mask
 
     unet_shapes = shapes["unet"]["params"]
-    mask = motion_param_mask(unet_shapes)
-    unet_p = jax.block_until_ready(jax.jit(
-        lambda: jax.tree_util.tree_map(
-            lambda s, m: jnp.full(s.shape, 0.02,
-                                  s.dtype if m else jnp.bfloat16),
-            unet_shapes, mask))())
+    mask_flat = jax.tree_util.tree_leaves(motion_param_mask(unet_shapes))
+    unet_p = _rand_tree(
+        unet_shapes,
+        lambda s, i: s.dtype if mask_flat[i] else jnp.bfloat16)
     vae_p = const(shapes["vae"], jnp.bfloat16)["params"]
     text_p = const(shapes["text"], jnp.bfloat16)["params"]
     n_params = sum(int(np.prod(s.shape))
@@ -116,6 +128,18 @@ def main():
             "prompt_ids": jnp.ones((accum, 77), jnp.int32),
         }
 
+    # motion-only-update assert at scale (VERDICT r2 #4): snapshot one
+    # frozen and one motion leaf before the steps, compare after
+    def _leaf(tree, want_motion):
+        for path, v in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            p = "/".join(str(getattr(k, "key", k)) for k in path)
+            if ("motion_modules_" in p) == want_motion and v.ndim >= 2:
+                return p, np.asarray(v[(0,) * (v.ndim - 1)][:8], np.float32)
+        raise AssertionError("no such leaf")
+
+    frozen_path, frozen_before = _leaf(state.params, False)
+    motion_path, motion_before = _leaf(state.params, True)
+
     t_c = time.perf_counter()
     state, metrics = step_fn(state, make_batch(0), rng)
     jax.block_until_ready(metrics)
@@ -131,6 +155,15 @@ def main():
         times.append(time.perf_counter() - t_s)
     best = min(times)
     loss = float(metrics["train_loss"])
+
+    frozen_after = _leaf(state.params, False)[1]
+    motion_after = _leaf(state.params, True)[1]
+    motion_only = bool(
+        np.array_equal(frozen_before, frozen_after)
+        and not np.array_equal(motion_before, motion_after))
+    print(f"# motion-only update: {motion_only} "
+          f"(frozen {frozen_path} unchanged, motion {motion_path} moved)",
+          file=sys.stderr)
 
     peak_hbm_gb = None
     try:
@@ -163,7 +196,12 @@ def main():
         "accum": accum,
         "extrapolated_accum256_step_s": round(best / accum * 256, 1),
         "peak_hbm_gb": peak_hbm_gb,
+        # device.memory_stats() is None through the axon relay; the
+        # static XLA memory analysis is the substitute (conservative:
+        # accum-256 analyzes at 17.3 GiB yet executes on the 15.75 GiB
+        # chip — the analysis double-counts some donated aliases)
         "hbm_analysis_gb": hbm_analysis_gb,
+        "motion_only_update": motion_only,
         "unet_params_b": round(n_params / 1e9, 3),
         "loss_finite": bool(np.isfinite(loss)),
         "optimizer": tcfg.optimizer,
