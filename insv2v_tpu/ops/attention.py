@@ -217,6 +217,10 @@ _flash_with_vjp.defvjp(_flash_fwd, _flash_bwd)
 import os as _os
 
 _FLASH_MIN_SEQ = int(_os.environ.get("INSV2V_FLASH_MIN_SEQ", "256"))
+# k-side threshold, separate so cross-attention (Sk=77, Sq=1536) can be
+# dispatched to flash independently of the self-attn gate (r3 A/B)
+_FLASH_MIN_KSEQ = int(
+    _os.environ.get("INSV2V_FLASH_MIN_KSEQ", str(_FLASH_MIN_SEQ)))
 _FLASH_DISABLED = _os.environ.get("INSV2V_FLASH", "1") == "0"
 # defaults from v5e A/B on the 256x384 editing workload (r2: 768/1536 beat
 # 512/768 by 3.5% end-to-end and the fused-XLA path by 10%; k/v fully
@@ -252,7 +256,7 @@ def dot_attention(
             not _FLASH_DISABLED
             and (_on_tpu() or _FLASH_INTERPRET)
             and q.shape[2] >= _FLASH_MIN_SEQ
-            and k.shape[2] >= _FLASH_MIN_SEQ
+            and k.shape[2] >= _FLASH_MIN_KSEQ
         )
     if use_flash:
         return _flash_with_vjp(q, k, v, scale)
@@ -281,7 +285,7 @@ def dot_attention_bshd(
             not _FLASH_DISABLED
             and (_on_tpu() or _FLASH_INTERPRET)
             and q.shape[1] >= _FLASH_MIN_SEQ
-            and k.shape[1] >= _FLASH_MIN_SEQ
+            and k.shape[1] >= _FLASH_MIN_KSEQ
         )
     b, sq, c = q.shape
     sk = k.shape[1]
