@@ -325,12 +325,14 @@ class VersatileAttention(nn.Module):
     The per-(pixel, head) attention matrices are only F x F (<=16x16) —
     as a batched matmul that uses ~1.5% of the 128x128 MXU and was
     measured at 26% of UNet step time. On TPU the heads and frames are
-    packed into ONE m = heads*F axis (= 128 for the production 8h/16f
-    shape) and attention runs as a single block-diagonal batched matmul
-    per pixel with a constant -inf mask on the cross-head blocks: 8x the
-    arithmetic, but MXU-shaped, ~10x faster end-to-end. Masked softmax
-    over m is mathematically identical to per-head softmax over F (each
-    row's finite entries are exactly its own head's F logits).
+    packed into ONE m = F*heads axis (= 128 for the production 8h/16f
+    shape; frame-major "striped" order so the pack is a pure reshape of
+    the (F, heads*e) minor dims) and attention runs as a single batched
+    matmul per pixel with a constant -inf mask on the cross-head entries
+    (mask[i,j] = -inf unless i%heads == j%heads): 8x the arithmetic, but
+    MXU-shaped, ~10x faster end-to-end. Masked softmax over m is
+    mathematically identical to per-head softmax over F (each row's
+    finite entries are exactly its own head's F logits).
     """
 
     heads: int
@@ -339,9 +341,9 @@ class VersatileAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # time_minor: x arrives as (B, P, F, C) instead of (B, F, P, C). The
     # TPU MotionModule keeps its whole residual stream in that layout so
-    # the packed attention needs only a LOCAL (f, heads) transpose per
-    # q/k/v instead of moving the large P axis on every pack/unpack
-    # (VERDICT r2 #1b: one relayout per MotionModule, not two per block).
+    # the striped (frame-major) packing makes pack/unpack pure reshapes —
+    # no transpose at all — instead of moving the large P axis on every
+    # pack/unpack (VERDICT r2 #1b: one relayout per MotionModule).
     time_minor: bool = False
 
     @nn.compact
@@ -371,16 +373,21 @@ class VersatileAttention(nn.Module):
             # the two-free-dim contraction back into small matmuls. The
             # explicit transpose + merged m axis below is the fast form.
             m = self.heads * f
+            # STRIPED (frame-major) packing: m = f*heads + h. The (f, heads)
+            # minor dims are split/merged in place, so on the time-minor
+            # stream pack/unpack are pure reshapes (XLA bitcasts) — the
+            # r2 H-major packing's (f,heads) transposes were ~13 ms/step
+            # of pure copies in the r3 device trace. The mask rows select
+            # the same F finite entries either way (same-head columns), so
+            # the masked softmax is mathematically unchanged.
             if self.time_minor:
-                pack = lambda t: t.reshape(b, p, f, self.heads, self.head_dim
-                                           ).transpose(0, 1, 3, 2, 4
-                                           ).reshape(b, p, m, self.head_dim)
+                pack = lambda t: t.reshape(b, p, m, self.head_dim)
             else:
                 pack = lambda t: t.reshape(b, f, p, self.heads, self.head_dim
-                                           ).transpose(0, 2, 3, 1, 4
+                                           ).transpose(0, 2, 1, 3, 4
                                            ).reshape(b, p, m, self.head_dim)
             qh, kh, vh = pack(q), pack(k), pack(v)
-            head_id = jnp.arange(m) // f
+            head_id = jnp.arange(m) % self.heads
             mask = jnp.where(head_id[:, None] == head_id[None, :], 0.0,
                              -jnp.inf).astype(jnp.float32)
             # the (B, P, m, m) logits are the temporal region's largest
@@ -397,11 +404,11 @@ class VersatileAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
             o = jnp.einsum("bpmn,bpne->bpme", probs, vh,
                            preferred_element_type=jnp.float32).astype(x.dtype)
-            oh = o.reshape(b, p, self.heads, f, self.head_dim)
-            if self.time_minor:
-                o = oh.transpose(0, 1, 3, 2, 4).reshape(b, p, f, inner)
+            if self.time_minor:  # striped: (m, e) -> (f, heads*e) in place
+                o = o.reshape(b, p, f, inner)
             else:
-                o = oh.transpose(0, 3, 1, 2, 4).reshape(b, f, p, inner)
+                o = o.reshape(b, p, f, self.heads, self.head_dim
+                              ).transpose(0, 2, 1, 3, 4).reshape(b, f, p, inner)
         else:
             if self.time_minor:
                 split = lambda t: t.reshape(b, p, f, self.heads, self.head_dim)
