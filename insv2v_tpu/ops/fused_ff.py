@@ -58,6 +58,52 @@ def geglu_ff_reference(x, ln_scale, ln_bias, w1, b1, w2, b2,
     return x + out
 
 
+# INSV2V_FF_GELU — in-kernel gelu flavor. r3 v5e probe A/B (16f/10-step):
+#   "as"   (A-S 7.1.25 erf, |err|<=2.5e-5; exp + reciprocal)   1.91 s
+#   "poly" (clamped odd minimax erf, |err|<=3.3e-4, 7 FMAs)    1.90 s
+#   "tanh" (torch approximate='tanh'; |gelu err|<=~3e-3 abs)   1.825 s
+#   "linear" (PERF PROBE ONLY — wrong math: the gelu ceiling)  1.80 s
+# Default "tanh": jnp.tanh lowers to a fast hardware transcendental while
+# the poly's 7-FMA Horner chain is latency-serial on the VPU; the ~3e-3
+# abs gelu deviation is below the bf16 activation quantization (~4e-3
+# relative) already present on the production path. The XLA/CPU reference
+# path keeps exact erf gelu.
+_FF_GELU = _os.environ.get("INSV2V_FF_GELU", "tanh")
+
+# minimax odd-polynomial erf on [0, 3.45] (clamped outside; erf(3.45) is
+# 1 - 1e-6): max |err| 3.3e-4 — well under bf16 output resolution
+_ERF_POLY_B = 3.45
+_ERF_POLY_C = (1.1266477729354312, -0.367974329471419, 0.10144315429401926,
+               -0.019428695071619408, 0.00245863823099253,
+               -0.0001936765952060101, 8.532946786589518e-06,
+               -1.5980650168595728e-07)
+
+
+def _erf_poly(x):
+    """Odd deg-15 polynomial erf; naturally odd, so no sign/abs handling."""
+    x = jnp.clip(x, -_ERF_POLY_B, _ERF_POLY_B)
+    x2 = x * x
+    p = _ERF_POLY_C[-1]
+    for c in _ERF_POLY_C[-2::-1]:
+        p = p * x2 + c
+    return x * p
+_FF_BLKM_RES_SMALL = int(_os.environ.get("INSV2V_FF_BLKM_RES_SMALL", "512"))
+_FF_BLKM_RES = int(_os.environ.get("INSV2V_FF_BLKM_RES", "128"))
+_FF_BLKM_STREAM = int(_os.environ.get("INSV2V_FF_BLKM_STREAM", "512"))
+
+
+def _gelu_inkernel(g):
+    if _FF_GELU == "linear":  # perf probe only
+        return g
+    if _FF_GELU == "tanh":
+        c = 0.7978845608028654  # sqrt(2/pi)
+        u = c * (g + 0.044715 * g * g * g)
+        return 0.5 * g * (1.0 + jnp.tanh(u))
+    if _FF_GELU == "as":
+        return 0.5 * g * (1.0 + _erf_approx(g * (2.0 ** -0.5)))
+    return 0.5 * g * (1.0 + _erf_poly(g * (2.0 ** -0.5)))
+
+
 def _erf_approx(x):
     """Abramowitz-Stegun 7.1.25 rational erf, |err| <= 2.5e-5 — an order
     of magnitude below bf16 resolution, and ~half the VPU cost of the
@@ -97,8 +143,7 @@ def _ff_kernel(x_ref, s_ref, b_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref,
     g = jnp.dot(xn, w1g_ref[:], preferred_element_type=jnp.float32)
     g = (g + b1g_ref[:].astype(jnp.float32)).astype(dt)
     # gelu via the A-S erf (no Mosaic erf/erfc lowering), in activation dtype
-    gelu_g = 0.5 * g * (1.0 + _erf_approx(g * (2.0 ** -0.5)))
-    gated = (h * gelu_g).astype(w2_ref.dtype)
+    gated = (h * _gelu_inkernel(g)).astype(w2_ref.dtype)
     acc_ref[:] += jnp.dot(gated, w2_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
@@ -129,8 +174,7 @@ def _ff_kernel_resident(x_ref, s_ref, b_ref, w1h_ref, b1h_ref, w1g_ref,
     h = (h + b1h_ref[:].astype(jnp.float32)).astype(dt)
     g = jnp.dot(xn, w1g_ref[:], preferred_element_type=jnp.float32)
     g = (g + b1g_ref[:].astype(jnp.float32)).astype(dt)
-    gelu_g = 0.5 * g * (1.0 + _erf_approx(g * (2.0 ** -0.5)))
-    gated = (h * gelu_g).astype(w2_ref.dtype)
+    gated = (h * _gelu_inkernel(g)).astype(w2_ref.dtype)
     out = jnp.dot(gated, w2_ref[:], preferred_element_type=jnp.float32)
     o_ref[:] = (xf + b2_ref[:].astype(jnp.float32) + out).astype(o_ref.dtype)
 
@@ -154,6 +198,8 @@ def fused_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2,
     blk_n = min(blk_n, inner)
     while inner % blk_n:  # inner is 4*C; all model widths divide cleanly
         blk_n //= 2
+    if c > 640:  # streamed path row-block size (env A/B)
+        blk_m = _FF_BLKM_STREAM
     blk_m = min(blk_m, _round_up(max(int(x.size // c), 1), 8))
 
     rows = 1
@@ -183,7 +229,8 @@ def fused_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2,
     if c <= 640:
         # weights fully resident; one pass per row block. blk_m trades
         # the (rows, 4C) f32 GEGLU intermediate against VMEM.
-        blk_m = min(blk_m, 512 if c <= 384 else 128)
+        # (env knobs for on-device A/B; defaults are the r2-tuned values)
+        blk_m = min(blk_m, _FF_BLKM_RES_SMALL if c <= 384 else _FF_BLKM_RES)
         rows_p2 = _round_up(rows_p, blk_m)
         if rows_p2 != x2.shape[0]:
             x2 = jnp.pad(x2, ((0, rows_p2 - x2.shape[0]), (0, 0)))

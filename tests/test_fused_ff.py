@@ -36,9 +36,22 @@ def test_fused_ff_matches_reference(rows, c, blk_m, blk_n):
     args = _make(jax.random.PRNGKey(0), rows, c)
     ref = geglu_ff_reference(*args)
     out = fused_geglu_ff(*args, blk_m=blk_m, blk_n=blk_n, interpret=True)
-    # kernel gelu uses the 3-term A-S erf: |err| <= 2.5e-5 (far below bf16)
+    # default kernel gelu is the tanh form (|gelu err| <= ~3e-3 abs vs
+    # the reference's exact erf — below the production path's bf16
+    # activation quantization; see the INSV2V_FF_GELU table in fused_ff.py)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=5e-3, atol=4e-3)
+
+
+def test_erf_poly_accuracy():
+    """The in-kernel erf polynomial vs exact erf over the clamp range and
+    beyond (clamped tail must stay within the same bound)."""
+    import math
+    from insv2v_tpu.ops.fused_ff import _erf_poly
+    x = jnp.linspace(-6.0, 6.0, 20001)
+    approx = np.asarray(_erf_poly(x))
+    exact = np.vectorize(math.erf)(np.asarray(x))
+    assert np.abs(approx - exact).max() < 3.5e-4
 
 
 def test_fused_ff_multi_inner_blocks():
@@ -74,9 +87,12 @@ def test_geglu_ff_grad_matches_reference():
 
     g1 = jax.grad(loss_fused, argnums=(0, 3, 5))(*args)
     g2 = jax.grad(loss_ref, argnums=(0, 3, 5))(*args)
+    # the custom VJP recomputes through the exact-erf reference, but the
+    # incoming cotangent 2*out carries the forward kernel's tanh-gelu
+    # delta (~3e-3 abs), hence the tolerance
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=5e-3, atol=4e-3)
 
 
 def test_unet_param_tree_unchanged():

@@ -66,8 +66,10 @@ def test_fused_ff_under_shard_map():
         mesh=mesh, in_specs=(P("dp"),), out_specs=P("dp"), check_vma=False,
     ))(x)
     ref = ff_mod.geglu_ff_reference(x, sc, bc, w1, b1, w2, b2)
+    # kernel gelu = tanh form (|gelu err| <= ~3e-3 abs vs the
+    # reference's exact erf; see INSV2V_FF_GELU in fused_ff.py)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=5e-3, atol=4e-3)
     assert len(sharded.sharding.device_set) == 8
 
 
@@ -123,6 +125,8 @@ def test_batch_sharded_sampler_runs_kernel_paths(monkeypatch):
     monkeypatch.setattr(attn_mod, "_FLASH_INTERPRET", False)
     monkeypatch.setattr(ff_mod, "_PALLAS_INTERPRET", False)
     ref = jax.jit(run)(params, lat, cond, tc, tu)
+    # kernel-vs-XLA deltas: flash f32-accum reassociation plus the FF
+    # tanh-gelu (~3e-3 abs), amplified by two CFG-combined denoise steps
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
-                               rtol=5e-5, atol=5e-5)
+                               rtol=2e-2, atol=2e-2)
     assert len(sharded.sharding.device_set) == 8
