@@ -316,6 +316,59 @@ class Transformer3DModel(nn.Module):
         return xf.reshape(b, f, h, w, c) + residual
 
 
+# INSV2V_PACK_VIA_DOT: emit the packed-temporal q/k/v straight from the
+# projection dots in (B, P, m, e) layout (kernel reshaped (C, heads, e))
+# instead of projecting to (…, F, C) and re-tiling — see
+# VersatileAttention. Param paths are unchanged (to_*/kernel, to_out/bias).
+# Default ON (r3 probe 1.81/1.82 vs 1.825/1.83 — <=1%, noise-bounded, but
+# strictly less data movement); only active on the packed time-minor
+# (TPU production) path. 0 reverts.
+_PACK_VIA_DOT = _os.environ.get("INSV2V_PACK_VIA_DOT", "1") == "1"
+
+
+class _PackedProjIn(nn.Module):
+    """Dense(inner, use_bias=False) that contracts with its kernel
+    reshaped (C, heads, e) so the output is already the striped-packed
+    (B, P, m=f*heads, e) layout. Same param path/shape/init as nn.Dense
+    (kernel (C, heads*e), lecun_normal) — checkpoint-compatible."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, P, F, C)
+        b, p, f, c = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (c, self.heads * self.head_dim))
+        wr = w.reshape(c, self.heads, self.head_dim).astype(self.dtype)
+        y = jnp.einsum("bpfc,che->bpfhe", x.astype(self.dtype), wr)
+        return y.reshape(b, p, f * self.heads, self.head_dim)
+
+
+class _PackedProjOut(nn.Module):
+    """Dense(C) consuming the striped-packed (B, P, m, e) layout directly:
+    contracts (heads, e) jointly with the kernel reshaped (heads, e, C).
+    Same param paths/shapes/inits as nn.Dense — checkpoint-compatible."""
+
+    heads: int
+    head_dim: int
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, o, f):  # o: (B, P, m, e) -> (B, P, F, C)
+        b, p, m, e = o.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.heads * self.head_dim, self.out_features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.out_features,))
+        wr = w.reshape(self.heads, e, self.out_features).astype(self.dtype)
+        o5 = o.reshape(b, p, f, self.heads, e).astype(self.dtype)
+        y = jnp.einsum("bpfhe,hec->bpfc", o5, wr)
+        return y + bias.astype(self.dtype)
+
+
 class VersatileAttention(nn.Module):
     """Temporal self-attention with sinusoidal PE (motion_module.py:245-336).
 
@@ -359,12 +412,33 @@ class VersatileAttention(nn.Module):
         )
         x = x + pe_bc(temporal_pe_slice(pe, video_start_index, f)).astype(x.dtype)
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        if "motion_mix" in _ABLATE:  # profiling only: keep projections,
-            o = v                    # skip the F x F attention einsums
-            return nn.Dense(c, dtype=self.dtype, name="to_out")(o)
+        # Packed time-minor path with INSV2V_PACK_VIA_DOT=1: emit q/k/v
+        # DIRECTLY in the packed (B, P, m, e) layout by contracting with
+        # the kernel reshaped (C, heads, e) — the dot's output minor dim
+        # is then e, so no post-hoc (…, F, C) -> (…, m, e) lane re-tiling
+        # copy is needed (that copy was ~8 ms/step in the r3 trace).
+        # Param paths stay to_{q,k,v}/kernel, to_out/{kernel,bias}.
+        via_dot = (_PACK_VIA_DOT and self.time_minor
+                   and _packed_temporal_attention())
+        if via_dot:
+            mk_in = lambda nm: _PackedProjIn(self.heads, self.head_dim,
+                                             dtype=self.dtype, name=nm)
+            q = mk_in("to_q")(x)
+            k = mk_in("to_k")(x)
+            v = mk_in("to_v")(x)
+            if "motion_mix" in _ABLATE:  # profiling only
+                return _PackedProjOut(self.heads, self.head_dim, c,
+                                      dtype=self.dtype, name="to_out")(v, f)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_k")(x)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_v")(x)
+            if "motion_mix" in _ABLATE:  # profiling only: keep projections,
+                o = v                    # skip the F x F attention einsums
+                return nn.Dense(c, dtype=self.dtype, name="to_out")(o)
         scale = jnp.float32(self.head_dim ** -0.5)
         if _packed_temporal_attention():
             # NOTE: expressing the same math as a 6D dot_general with the
@@ -380,7 +454,9 @@ class VersatileAttention(nn.Module):
             # of pure copies in the r3 device trace. The mask rows select
             # the same F finite entries either way (same-head columns), so
             # the masked softmax is mathematically unchanged.
-            if self.time_minor:
+            if via_dot:
+                pack = lambda t: t  # already (b, p, m, e) from the dot
+            elif self.time_minor:
                 pack = lambda t: t.reshape(b, p, m, self.head_dim)
             else:
                 pack = lambda t: t.reshape(b, f, p, self.heads, self.head_dim
@@ -404,6 +480,9 @@ class VersatileAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
             o = jnp.einsum("bpmn,bpne->bpme", probs, vh,
                            preferred_element_type=jnp.float32).astype(x.dtype)
+            if via_dot:  # contract (h, e) jointly straight back to C
+                return _PackedProjOut(self.heads, self.head_dim, c,
+                                      dtype=self.dtype, name="to_out")(o, f)
             if self.time_minor:  # striped: (m, e) -> (f, heads*e) in place
                 o = o.reshape(b, p, f, inner)
             else:
