@@ -87,6 +87,7 @@ def _erf_poly(x):
     for c in _ERF_POLY_C[-2::-1]:
         p = p * x2 + c
     return x * p
+_FF_INTERLEAVE = _os.environ.get("INSV2V_FF_INTERLEAVE", "0") == "1"
 _FF_BLKM_RES_SMALL = int(_os.environ.get("INSV2V_FF_BLKM_RES_SMALL", "512"))
 _FF_BLKM_RES = int(_os.environ.get("INSV2V_FF_BLKM_RES", "128"))
 _FF_BLKM_STREAM = int(_os.environ.get("INSV2V_FF_BLKM_STREAM", "512"))
@@ -159,6 +160,11 @@ def _ff_kernel_resident(x_ref, s_ref, b_ref, w1h_ref, b1h_ref, w1g_ref,
     block (j is the fast dim), which measured ~0.4 ms/call of pure weight
     refetch at level 0; with 2.5-10 MB of total FF weights there is no
     reason to stream them.
+
+    INSV2V_FF_INTERLEAVE=1 splits the row block into two halves with the
+    second half's GEGLU matmuls issued before the first half's gelu, so
+    the scheduler can overlap MXU (dots) with VPU (gelu) across halves
+    (r3: the gelu was measured at ~6% of the whole chain).
     """
     xf = x_ref[:].astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -170,12 +176,30 @@ def _ff_kernel_resident(x_ref, s_ref, b_ref, w1h_ref, b1h_ref, w1g_ref,
     # also gates in bf16: Dense(dtype=bf16)); the ~12-pass gelu polynomial
     # on f32 rivalled the kernel's matmuls on the VPU
     dt = x_ref.dtype
-    h = jnp.dot(xn, w1h_ref[:], preferred_element_type=jnp.float32)
-    h = (h + b1h_ref[:].astype(jnp.float32)).astype(dt)
-    g = jnp.dot(xn, w1g_ref[:], preferred_element_type=jnp.float32)
-    g = (g + b1g_ref[:].astype(jnp.float32)).astype(dt)
-    gated = (h * _gelu_inkernel(g)).astype(w2_ref.dtype)
-    out = jnp.dot(gated, w2_ref[:], preferred_element_type=jnp.float32)
+    b1h = b1h_ref[:].astype(jnp.float32)
+    b1g = b1g_ref[:].astype(jnp.float32)
+
+    def geglu(xn_half):
+        h = jnp.dot(xn_half, w1h_ref[:], preferred_element_type=jnp.float32)
+        h = (h + b1h).astype(dt)
+        g = jnp.dot(xn_half, w1g_ref[:], preferred_element_type=jnp.float32)
+        g = (g + b1g).astype(dt)
+        return h, g
+
+    rows = xn.shape[0]
+    if _FF_INTERLEAVE and rows % 16 == 0:
+        half = rows // 2
+        h0, g0 = geglu(xn[:half])
+        h1, g1 = geglu(xn[half:])  # MXU work available during gelu(g0)
+        gated0 = (h0 * _gelu_inkernel(g0)).astype(w2_ref.dtype)
+        out0 = jnp.dot(gated0, w2_ref[:], preferred_element_type=jnp.float32)
+        gated1 = (h1 * _gelu_inkernel(g1)).astype(w2_ref.dtype)
+        out1 = jnp.dot(gated1, w2_ref[:], preferred_element_type=jnp.float32)
+        out = jnp.concatenate([out0, out1], axis=0)
+    else:
+        h, g = geglu(xn)
+        gated = (h * _gelu_inkernel(g)).astype(w2_ref.dtype)
+        out = jnp.dot(gated, w2_ref[:], preferred_element_type=jnp.float32)
     o_ref[:] = (xf + b2_ref[:].astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
