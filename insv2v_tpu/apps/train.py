@@ -223,6 +223,28 @@ def main(argv=None):
             text_cfg=float(tr.get("text_cfg", 7.5)),
             img_cfg=float(tr.get("img_cfg", 1.2)))
 
+    try:
+        _train_loop(args, cfg, tr, tcfg, trainer, state, step_fn, it, logger,
+                    max_steps, ckpt_every, val_every, rng, validate, expt_dir,
+                    proc0)
+    finally:
+        it.close()  # stop the prefetch worker (main() may run in-process
+        # more than once: resume tests, notebooks)
+
+
+def _train_loop(args, cfg, tr, tcfg, trainer, state, step_fn, it, logger,
+                max_steps, ckpt_every, val_every, rng, validate, expt_dir,
+                proc0):
+    import time
+
+    import jax
+    import numpy as np
+
+    from insv2v_tpu.parallel.mesh import make_global_batch
+    from insv2v_tpu.utils.checkpoint import save_train_state
+    if validate is not None:
+        from insv2v_tpu.training.validation import save_preview_grid
+
     while int(state.step) < max_steps:
         t0 = time.perf_counter()
         local_batch = next(it)

@@ -40,7 +40,9 @@ def test_two_process_train_step():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=900)
+            out, err = p.communicate(timeout=1800)  # cold compile cache:
+                # two children share one CPU (per-host cache subdirs
+                # recompile once after a host change)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
