@@ -209,3 +209,31 @@ def test_web_demo_served(tmp_path, monkeypatch):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_compile_cache_is_host_keyed_on_cpu():
+    """XLA:CPU AOT entries are host-CPU-feature specific: loading another
+    host's entries can abort the process (r3 SIGABRT). On a cpu backend
+    the cache dir must carry the host fingerprint; the fingerprint must
+    be stable across calls."""
+    from insv2v_tpu.utils.jax_cache import (
+        _cpu_fingerprint,
+        enable_compilation_cache,
+    )
+
+    fp = _cpu_fingerprint()
+    assert fp == _cpu_fingerprint() and len(fp) == 12
+    import os
+    import tempfile
+
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            used = enable_compilation_cache(d)
+            # tests force the cpu platform (conftest), so the per-host
+            # subdir must be applied
+            assert used is not None and used == os.path.join(d, "cpu-" + fp)
+    finally:  # do not leave the global cache pointing at the tempdir
+        jax.config.update("jax_compilation_cache_dir", prev)
