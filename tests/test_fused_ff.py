@@ -119,3 +119,23 @@ def test_unet_param_tree_unchanged():
         "down_blocks_0/motion_modules_0/transformer_blocks_0/ff/geglu_proj/kernel",
     ]:
         assert want in paths, f"missing param path: {want}"
+
+
+def test_gelu_flavors_match_reference():
+    """Every INSV2V_FF_GELU flavor (except the perf-probe 'linear') stays
+    within its documented tolerance of the exact-erf reference."""
+    from insv2v_tpu.ops import fused_ff
+
+    args = _make(jax.random.PRNGKey(7), 128, 128)
+    ref = geglu_ff_reference(*args)
+    tols = {"as": 5e-4, "poly": 1e-3, "tanh": 8e-3}
+    old = fused_ff._FF_GELU
+    try:
+        for flavor, atol in tols.items():
+            fused_ff._FF_GELU = flavor
+            out = fused_geglu_ff(*args, blk_m=128, blk_n=128, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=1e-2, atol=atol,
+                err_msg=f"flavor={flavor}")
+    finally:
+        fused_ff._FF_GELU = old
