@@ -171,6 +171,51 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(h)
 
 
+# INSV2V_SPATIAL_VIA_DOT=1 (r3 A/B lever): project the spatial q/k/v
+# straight to the (B, H, S, d) flash layout via the kernel reshaped
+# (C, heads, d), skipping dot_attention_bshd's explicit head transpose
+# (~6.5 ms/step of copies at ops/attention.py:292 in the r3 trace —
+# though per the pack-via-dot finding, XLA may re-tile inside the
+# projection instead). Param paths unchanged.
+_SPATIAL_VIA_DOT = _os.environ.get("INSV2V_SPATIAL_VIA_DOT", "0") == "1"
+
+
+class _BhsdProjIn(nn.Module):
+    """Dense(inner, no bias) emitting (B, H, S, d) directly."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, S, C) -> (B, H, S, d)
+        c = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (c, self.heads * self.head_dim))
+        wr = w.reshape(c, self.heads, self.head_dim).astype(self.dtype)
+        return jnp.einsum("bsc,chd->bhsd", x.astype(self.dtype), wr)
+
+
+class _BhsdProjOut(nn.Module):
+    """Dense(out) consuming (B, H, S, d) directly."""
+
+    heads: int
+    head_dim: int
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, o):  # (B, H, S, d) -> (B, S, out)
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.heads * self.head_dim, self.out_features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.out_features,))
+        wr = w.reshape(self.heads, self.head_dim,
+                       self.out_features).astype(self.dtype)
+        y = jnp.einsum("bhsd,hdc->bsc", o.astype(self.dtype), wr)
+        return y + bias.astype(self.dtype)
+
+
 class CrossAttention(nn.Module):
     """diffusers ``Attention``: to_q/k/v (no bias) + to_out (bias)."""
 
@@ -183,6 +228,15 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None):
         context = x if context is None else context
         inner = self.heads * self.head_dim
+        if _SPATIAL_VIA_DOT:
+            mk = lambda nm: _BhsdProjIn(self.heads, self.head_dim,
+                                        dtype=self.dtype, name=nm)
+            q, k, v = mk("to_q")(x), mk("to_k")(context), mk("to_v")(context)
+            from insv2v_tpu.ops.attention import dot_attention
+
+            o = dot_attention(q, k, v, use_flash=self.use_flash)
+            return _BhsdProjOut(self.heads, self.head_dim, inner,
+                                dtype=self.dtype, name="to_out")(o)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)

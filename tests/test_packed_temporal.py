@@ -84,3 +84,28 @@ def test_versatile_attention_time_minor_layouts_agree():
                 rtol=1e-5, atol=1e-6, err_msg=f"packed={packed}")
         finally:
             unet3d._PACKED_TEMPORAL = old
+
+
+def test_spatial_via_dot_matches_dense_path():
+    """CrossAttention with INSV2V_SPATIAL_VIA_DOT applies Dense-created
+    params through the (B,H,S,d)-direct einsum projections bit-compatibly
+    (same param tree; float tolerance only)."""
+    from insv2v_tpu.models.unet3d import CrossAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 16))
+    mod = CrossAttention(heads=4, head_dim=4)
+    params = mod.init(jax.random.PRNGKey(2), x, ctx)
+    ref_self = mod.apply(params, x)
+    ref_cross = mod.apply(params, x, ctx)
+    old = unet3d._SPATIAL_VIA_DOT
+    unet3d._SPATIAL_VIA_DOT = True
+    try:
+        out_self = mod.apply(params, x)
+        out_cross = mod.apply(params, x, ctx)
+    finally:
+        unet3d._SPATIAL_VIA_DOT = old
+    np.testing.assert_allclose(np.asarray(out_self), np.asarray(ref_self),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_cross), np.asarray(ref_cross),
+                               rtol=1e-5, atol=1e-6)
