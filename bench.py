@@ -92,6 +92,22 @@ NUM_REF = 4
 
 
 def main():
+    # Fail fast (with a diagnostic) if backend init wedges — a dead TPU
+    # relay otherwise hangs jax.devices() forever and the driver's bench
+    # window is lost in silence. Generous: healthy relay init is seconds.
+    import threading
+
+    init_done = threading.Event()
+    init_budget = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+
+    def _watchdog():
+        if not init_done.wait(init_budget):
+            print(f"# FATAL: jax backend init exceeded {init_budget:.0f}s "
+                  "(TPU relay unreachable?)", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from insv2v_tpu.utils.jax_cache import enable_compilation_cache
 
     cache_dir = enable_compilation_cache()
@@ -104,6 +120,7 @@ def main():
     from insv2v_tpu.models.unet3d import UNet3DConditionModel, UNetConfig
 
     dev = jax.devices()[0]
+    init_done.set()
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
 
