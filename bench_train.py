@@ -20,6 +20,20 @@ import time
 
 
 def main():
+    # fail fast if backend init wedges (dead TPU relay) — see bench.py
+    import threading
+
+    init_done = threading.Event()
+    budget = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+
+    def _watchdog():
+        if not init_done.wait(budget):
+            print(f"# FATAL: jax backend init exceeded {budget:.0f}s "
+                  "(TPU relay unreachable?)", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from insv2v_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -36,6 +50,7 @@ def main():
     from insv2v_tpu.utils.factory import get_models
 
     dev = jax.devices()[0]
+    init_done.set()
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
 
