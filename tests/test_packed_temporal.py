@@ -109,3 +109,32 @@ def test_spatial_via_dot_matches_dense_path():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_cross), np.asarray(ref_cross),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_full_unet_tpu_layout_stack_matches_plain():
+    """Integration guard: the complete TPU-default layout composition
+    (packed temporal + time-minor stream + pack-via-dot projections)
+    through the FULL UNet matches the plain per-head path with the same
+    params (f32; kernels not dispatched, layouts only)."""
+    from insv2v_tpu.models.unet3d import UNet3DConditionModel, UNetConfig
+
+    model = UNet3DConditionModel(cfg=UNetConfig.tiny(
+        block_out_channels=(32, 32, 32, 32), norm_num_groups=8))
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 4, 8, 8, 8))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1), (1, 3, 12))
+    params = model.init(jax.random.PRNGKey(1), x, t, ctx)
+
+    def run():
+        return model.apply(params, x, t, ctx, video_start_index=2)
+
+    ref = run()
+    old_packed, old_viadot = unet3d._PACKED_TEMPORAL, unet3d._PACK_VIA_DOT
+    unet3d._PACKED_TEMPORAL, unet3d._PACK_VIA_DOT = "1", True
+    try:
+        out = run()
+    finally:
+        unet3d._PACKED_TEMPORAL, unet3d._PACK_VIA_DOT = old_packed, old_viadot
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
