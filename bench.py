@@ -18,11 +18,12 @@ batched into one chain — the LOVEU grid runs 4 edits per video over
 identical image conditioning, so batching is the production configuration
 (apps/run_loveu_tgve.py).
 
-``vs_baseline`` divides by an estimated A100 reference throughput for the
-same workload (BASELINE.md: the reference publishes no numbers, so the
-baseline is reconstructed): torch fp16 + xformers InsV2V at 256x384 runs
-~20 denoise steps over 3 windows in ~25 s => scaled to 50 steps ~ 0.55
-edited frames/s on one A100. North star (BASELINE.json): >= 5x => 2.75.
+``vs_baseline`` divides by an ESTIMATED A100 reference throughput for the
+same workload — the reference publishes no numbers. The estimate, its
+derivation and sensitivity band live in ONE place:
+insv2v_tpu/utils/baseline.py (summarized in BASELINE.md); bench.py reports
+``vs_baseline_range`` from that band. The guess-free absolute anchors are
+``mfu`` (issued-FLOPs utilization, see below) and ``p50_edit_latency_s``.
 
 Env knobs: BENCH_FRAMES/H/W/STEPS (workload), BENCH_REPS, BENCH_B
 (batched-chain width, 0 disables), BENCH_E2E=0 (denoise-only probe mode,
@@ -37,7 +38,7 @@ import os
 import sys
 import time
 
-A100_EST_FPS = 0.55  # see module docstring
+from insv2v_tpu.utils.baseline import A100_EST_FPS, A100_EST_FPS_RANGE
 
 # bf16 peak TFLOP/s per chip by device_kind substring, for MFU: the
 # guess-free absolute anchor VERDICT.md asked for alongside vs_baseline
@@ -255,7 +256,30 @@ def main():
             ts.append(time.perf_counter() - t_start)
         return ts
 
-    # warmup/compile (one window variant per batch size + VAE/text)
+    # warmup/compile (one window variant per batch size + VAE/text).
+    # Per-piece first-call timing attributes the warmup (VERDICT r3 #8:
+    # which compiles miss the persistent cache / dominate through the
+    # relay); wrappers are pass-through after the first call.
+    def timed_first(name, fn):
+        done = []
+
+        def wrap(*a):
+            if done:
+                return fn(*a)
+            t0 = time.perf_counter()
+            r = jax.block_until_ready(fn(*a))
+            print(f"# first-call {name}: {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+            done.append(1)
+            return r
+
+        return wrap
+
+    window_ref = timed_first("window_ref(b=1)", window_ref)
+    if E2E:
+        encode_text = timed_first("text_encode", encode_text)
+        vae_encode = timed_first("vae_encode", vae_encode)
+        vae_decode = timed_first("vae_decode", vae_decode)
     t_c = time.perf_counter()
     jax.block_until_ready(run_edit(0, 1))
     print(f"# compile+warmup b=1: {time.perf_counter()-t_c:.1f}s",
@@ -292,13 +316,18 @@ def main():
         print(f"# e2e edit times (b={BATCH}): {[f'{t:.2f}' for t in bts]} s",
               file=sys.stderr)
 
-    # MFU: XLA-counted FLOPs for ONE fused 3xCFG denoise step x (steps x
-    # windows) / wall / peak. Costing the step (not the scanned chain)
-    # sidesteps XLA counting the scan body once. BENCH_MFU=0 skips the
-    # extra compile (ablation probes only need wall time).
+    # "mfu" = ISSUED-FLOPs utilization: XLA-counted FLOPs for ONE fused
+    # 3xCFG denoise step x (steps x windows) / wall / peak. "Issued"
+    # because the count includes the deliberately 8x-padded packed-temporal
+    # matmuls (the graph that actually runs); conventional model-FLOPs MFU
+    # (temporal attention at its unpadded FxF cost) is lower — see
+    # PERF.md "Metric definitions". Costing the step (not the scanned
+    # chain) sidesteps XLA counting the scan body once. BENCH_MFU=0 skips
+    # the extra compile (ablation probes only need wall time).
     from insv2v_tpu.diffusion.samplers import dual_cfg_eps
 
     step_flops = 0.0
+    model_step_flops = 0.0
 
     if os.environ.get("BENCH_MFU", "1") != "0":
         @jax.jit
@@ -316,34 +345,57 @@ def main():
         # computes the same matmuls, so its count IS the step's FLOPs.
         # (Counts FLOPs as issued, incl. the 8x-padded packed temporal
         # matmuls — the graph that actually runs.)
+        from insv2v_tpu.models import unet3d as _u3d
         from insv2v_tpu.ops import attention as _att
         from insv2v_tpu.ops import fused_ff as _fff
 
-        _saved = (_att._FLASH_DISABLED, _fff._FUSED_FF)
+        _saved = (_att._FLASH_DISABLED, _fff._FUSED_FF, _u3d._PACKED_TEMPORAL)
         _att._FLASH_DISABLED, _fff._FUSED_FF = True, False
         try:
             step_flops = _compiled_flops(one_step, params, lat1, cond1, tc1, tc1)
+            # model-FLOPs count: same step with the per-head (unpadded FxF)
+            # temporal attention — the conventional MFU numerator. Fresh
+            # jit wrapper: the flag is read at trace time, so re-lowering
+            # one_step could reuse the cached packed trace.
+            _u3d._PACKED_TEMPORAL = "0"
+
+            @jax.jit
+            def one_step_unpadded(p, lat, cond, tcc, tuu):
+                return dual_cfg_eps(unet_apply, p, lat, cond,
+                                    tables.timesteps[0], tuu, tcc, 7.5, 1.2,
+                                    jnp.int32(0))
+
+            model_step_flops = _compiled_flops(
+                one_step_unpadded, params, lat1, cond1, tc1, tc1)
         finally:
-            _att._FLASH_DISABLED, _fff._FUSED_FF = _saved
+            _att._FLASH_DISABLED, _fff._FUSED_FF, _u3d._PACKED_TEMPORAL = _saved
     total_flops = step_flops * STEPS * len(windows)
     peak = _peak_tflops(dev)
     denoise_wall = NUM_FRAMES / denoise_fps if denoise_fps else None
     mfu = (total_flops / denoise_wall / (peak * 1e12)
            if (peak and total_flops and denoise_wall) else None)
+    model_mfu = (model_step_flops * STEPS * len(windows) / denoise_wall
+                 / (peak * 1e12)
+                 if (peak and model_step_flops and denoise_wall) else None)
     if mfu is not None:
         print(f"# step flops: {step_flops/1e12:.2f} TF x {STEPS * len(windows)}"
-              f" steps, peak {peak} TF/s, mfu {mfu:.3f}", file=sys.stderr)
+              f" steps, peak {peak} TF/s, issued-FLOPs util {mfu:.3f}"
+              + (f", model-FLOPs MFU {model_mfu:.3f}" if model_mfu else ""),
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "edited_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_EST_FPS, 3),
+        "vs_baseline_range": [round(fps / A100_EST_FPS_RANGE[1], 2),
+                              round(fps / A100_EST_FPS_RANGE[0], 2)],
         "denoise_fps": round(denoise_fps, 3) if denoise_fps else None,
         "batched_fps": round(batched_fps, 3) if batched_fps else None,
         "batch": BATCH if batched_fps else 1,
         "p50_edit_latency_s": round(p50, 2),
-        "mfu": round(mfu, 4) if mfu is not None else None,
+        "mfu": round(mfu, 4) if mfu is not None else None,  # issued-FLOPs
+        "model_mfu": round(model_mfu, 4) if model_mfu is not None else None,
         "chain_tflops": round(total_flops / 1e12, 1) if total_flops else None,
         "config": (f"{NUM_FRAMES}f@{HEIGHT}x{WIDTH},{STEPS}-step DDIM, "
                    f"dual CFG{', e2e' if E2E else ', denoise-only'}"),

@@ -181,12 +181,47 @@ def main():
           file=sys.stderr)
 
     peak_hbm_gb = None
+    peak_hbm_source = None
     try:
         stats = dev.memory_stats()
         if stats and "peak_bytes_in_use" in stats:
             peak_hbm_gb = round(stats["peak_bytes_in_use"] / 2**30, 2)
+            peak_hbm_source = "memory_stats"
     except Exception as e:
         print(f"# memory_stats unavailable: {e}", file=sys.stderr)
+
+    # Allocation-probe bound (VERDICT r3 #7): memory_stats() is None
+    # through the axon relay, so bound the TRUE peak (residents + step
+    # temps) by the largest ballast allocation the step still runs
+    # beside: peak <= chip_capacity - ballast. Ascending ladder, stop at
+    # the first failure (runs LAST — a failed step leaves the donated
+    # state consumed, which is fine once measuring is done).
+    _HBM_CAPACITY = {"v5 lite": 15.75, "v5e": 15.75, "v5p": 95.0,
+                     "v4": 31.75, "v6": 31.25, "v3": 16.0}
+    if peak_hbm_gb is None and os.environ.get("TRAIN_PROBE_HBM", "1") != "0":
+        kind = str(getattr(dev, "device_kind", "")).lower()
+        cap = next((v for k, v in _HBM_CAPACITY.items() if k in kind), None)
+        if cap is not None:
+            ok_gb = 0.0
+            ballast = None
+            for gb in (0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0):
+                try:
+                    del ballast
+                    ballast = jax.block_until_ready(
+                        jnp.zeros((int(gb * 2**30) // 4,), jnp.float32))
+                    state, m2 = step_fn(state, make_batch(99), rng)
+                    jax.block_until_ready(m2)
+                    ok_gb = gb
+                    print(f"# hbm probe: step ran beside {gb} GiB ballast",
+                          file=sys.stderr)
+                except Exception as e:
+                    print(f"# hbm probe: failed at {gb} GiB ballast "
+                          f"({type(e).__name__})", file=sys.stderr)
+                    break
+            if ok_gb > 0:
+                peak_hbm_gb = round(cap - ok_gb, 2)
+                peak_hbm_source = f"alloc-probe bound (<= cap {cap} - "\
+                                  f"ballast {ok_gb} GiB)"
     # static fallback when the relay hides runtime memory stats: XLA's own
     # compile-time memory analysis (args + outputs + temps + generated code)
     hbm_analysis_gb = None
@@ -211,6 +246,7 @@ def main():
         "accum": accum,
         "extrapolated_accum256_step_s": round(best / accum * 256, 1),
         "peak_hbm_gb": peak_hbm_gb,
+        "peak_hbm_source": peak_hbm_source,
         # device.memory_stats() is None through the axon relay; the
         # static XLA memory analysis is the substitute (conservative:
         # accum-256 analyzes at 17.3 GiB yet executes on the 15.75 GiB

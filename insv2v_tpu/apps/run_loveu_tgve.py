@@ -23,7 +23,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video-cfg", nargs="+", type=float, default=[1.8])
     p.add_argument("--num-frames", nargs="+", type=int, default=[32])
     p.add_argument("--image-size", nargs="+", type=int, default=[384])
-    p.add_argument("--prompt-source", default="edit")
+    p.add_argument("--prompt-source", default="edit",
+                   choices=["edit", "original"],
+                   help="'edit': per-video edit INSTRUCTIONS from the "
+                   "edit-prompt dict (the reference's default and the "
+                   "paper's benchmark mode, insv2v_run_loveu_tgve.py:"
+                   "100-111); 'original': the CSV's edited-caption "
+                   "columns")
+    p.add_argument("--edit-prompt-dict", default=None,
+                   help="path to loveu_tgve_edit_prompt_dict.json "
+                   "(default: <data-dir>/loveu_tgve_edit_prompt_dict."
+                   "json); only used with --prompt-source edit")
     p.add_argument("--ckpt-path", "--ckpt", dest="ckpt_path", default=None)
     p.add_argument("--config-path", default="configs/instruct_v2v.yaml")
     p.add_argument("--data-dir", default="loveu-tgve-2023")
@@ -64,7 +74,34 @@ def main(argv=None):
     editor = make_editor(args.config_path, args.ckpt_path, args.scheduler,
                          args.steps, args.allow_random_weights)
 
+    # Benchmark prompt mode (insv2v_run_loveu_tgve.py:100-111): 'edit'
+    # feeds per-video edit INSTRUCTIONS (edit_prompt_dict[video]['edit_'
+    # + key]) — the instruction-tuned model's intended input and the
+    # paper's configuration; 'original' feeds the CSV's edited captions.
+    edit_prompt_dict = None
+    if args.prompt_source == "edit":
+        dict_path = args.edit_prompt_dict or os.path.join(
+            args.data_dir, "loveu_tgve_edit_prompt_dict.json")
+        if os.path.exists(dict_path):
+            with open(dict_path) as f:
+                edit_prompt_dict = json.load(f)
+        else:
+            print(f"WARNING: --prompt-source edit but {dict_path} does not "
+                  "exist — falling back to the CSV caption columns "
+                  "(--prompt-source original semantics)", flush=True)
+
+    def pick_prompt(video_name: str, prompt_key: str, item) -> str:
+        if edit_prompt_dict is not None:
+            entry = edit_prompt_dict.get(video_name)
+            if entry is None or ("edit_" + prompt_key) not in entry:
+                print(f"WARNING: no edit prompt for {video_name}/"
+                      f"{prompt_key}; using the caption column", flush=True)
+                return item[prompt_key]
+            return entry["edit_" + prompt_key]
+        return item[prompt_key]
+
     metrics = {"videos": 0, "frames": 0, "seconds": 0.0}
+    prompts_used = {}  # tag -> prompt actually fed to the editor
     names = None
     for image_size in args.image_size:
         ds = LoveuTgveVideoDataset(args.data_dir,
@@ -103,8 +140,10 @@ def main(argv=None):
                        f"vcfg{video_cfg}-f{num_frames}-s{image_size}")
                 if os.path.exists(os.path.join(args.output_dir, f"{tag}.gif")):
                     continue  # idempotent resume
-                pending.append(item[prompt_key])
+                prompt = pick_prompt(video_name, prompt_key, item)
+                pending.append(prompt)
                 tags.append(tag)
+                prompts_used[tag] = prompt
             for i in range(0, len(pending), max(1, args.batch_edits)):
                 prompts = pending[i: i + max(1, args.batch_edits)]
                 t0 = time.perf_counter()
@@ -135,6 +174,15 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "throughput.json"), "w") as f:
         json.dump(metrics, f, indent=2)
+    if prompts_used:  # provenance: which prompt each output was edited with
+        path = os.path.join(args.output_dir, "prompts_used.json")
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged.update(prompts_used)
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=2)
     print(json.dumps(metrics))
 
 

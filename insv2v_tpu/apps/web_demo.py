@@ -25,9 +25,15 @@ import email.parser
 import email.policy
 import html
 import tempfile
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from insv2v_tpu.apps.gradio_demo import EXAMPLES, run_edit
+
+MAX_BODY_BYTES = 100 * 1024 * 1024  # reject absurd uploads before reading
+
+# One accelerator: concurrent /edit requests would thrash HBM — serialize.
+_EDIT_LOCK = threading.Lock()
 
 _PAGE = """<!doctype html>
 <html><head><title>InsV2V-TPU: instruction video editing</title>
@@ -97,6 +103,9 @@ def make_handler(args):
             if self.path != "/edit":
                 return self._send(404, b"not found", "text/plain")
             length = int(self.headers.get("Content-Length", "0"))
+            if length > MAX_BODY_BYTES:
+                return self._send(413, b"request body too large",
+                                  "text/plain")
             fields = _parse_multipart(self.headers, self.rfile.read(length))
             video = fields.get("video", b"")
             prompt = fields.get("prompt", b"").decode().strip()
@@ -104,7 +113,7 @@ def make_handler(args):
                 return self._send(400, b"video and prompt are required",
                                   "text/plain")
             num = lambda k, d: float(fields[k]) if fields.get(k) else d
-            with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+            with tempfile.NamedTemporaryFile(suffix=".mp4") as f, _EDIT_LOCK:
                 f.write(video)
                 f.flush()
                 gif = run_edit(

@@ -176,7 +176,9 @@ class VideoEditor:
         ``edit_prompt`` may be a LIST of prompts: all edits then share one
         denoise chain with the video batch axis = len(prompts) (the VAE
         latents, initial noise and rng are shared, so prompt k of a batched
-        call equals a solo call with the same seed). This is the
+        call equals a solo call with the same seed — including the
+        flow-compensated path, whose per-element ref deltas are warped
+        independently; tests/test_samplers.py). This is the
         LOVEU-grid batching lever: the reference runs its 4 edit types as
         4 sequential full chains over identical img_cond
         (insv2v_run_loveu_tgve.py:83-101); on TPU one B=4 chain keeps the

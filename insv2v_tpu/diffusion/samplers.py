@@ -162,16 +162,22 @@ def sample_video_window(
                 delta_mean = jnp.sum(delta_ref, axis=1, keepdims=True) / n_ref
                 correction = ref_mask * delta_ref + (1.0 - ref_mask) * delta_mean
             else:
-                # flow-warped propagation (inference.py:367-386), batch 1
+                # flow-warped propagation (inference.py:367-386). Flows are
+                # per-video (one shared source video), deltas are per batch
+                # element — warp each element's ref deltas independently so
+                # batched prompts match their solo calls (ADVICE r3).
                 r = flows.shape[1]
-                d0 = delta_ref[0, :r]  # (R, h, w, C) ref-frame deltas
-                warped = jax.vmap(  # over query frames
-                    lambda fl: warp_image(d0, fl)
-                )(flows)  # (F, R, h, w, C)
+                d_ref = delta_ref[:, :r]  # (B, R, h, w, C) ref-frame deltas
+                warped = jax.vmap(  # over batch
+                    lambda db: jax.vmap(  # over query frames
+                        lambda fl: warp_image(db, fl)
+                    )(flows)
+                )(d_ref)  # (B, F, R, h, w, C)
                 mask_sum = jnp.sum(flow_masks, axis=1)  # (F, h, w, 1)
-                warped_sum = jnp.sum(warped * flow_masks, axis=1)
-                prop = jnp.where(mask_sum > 0.5, warped_sum / jnp.maximum(mask_sum, 1e-6), 0.0)
-                correction = ref_mask * delta_ref + (1.0 - ref_mask) * prop[None]
+                warped_sum = jnp.sum(warped * flow_masks[None], axis=2)
+                prop = jnp.where(mask_sum[None] > 0.5,
+                                 warped_sum / jnp.maximum(mask_sum[None], 1e-6), 0.0)
+                correction = ref_mask * delta_ref + (1.0 - ref_mask) * prop
             use = (i < correct_until).astype(jnp.float32)
             eps = eps + use * correction
 

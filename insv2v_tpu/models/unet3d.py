@@ -171,13 +171,15 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(h)
 
 
-# INSV2V_SPATIAL_VIA_DOT=1 (r3 A/B lever): project the spatial q/k/v
-# straight to the (B, H, S, d) flash layout via the kernel reshaped
-# (C, heads, d), skipping dot_attention_bshd's explicit head transpose
-# (~6.5 ms/step of copies at ops/attention.py:292 in the r3 trace —
-# though per the pack-via-dot finding, XLA may re-tile inside the
-# projection instead). Param paths unchanged.
-_SPATIAL_VIA_DOT = _os.environ.get("INSV2V_SPATIAL_VIA_DOT", "0") == "1"
+# INSV2V_SPATIAL_VIA_DOT (r3 lever, r4 measured — default ON): project
+# the spatial q/k/v straight to the (B, H, S, d) flash layout via the
+# kernel reshaped (C, heads, d), skipping dot_attention_bshd's explicit
+# head transpose (~6.5 ms/step of copies at ops/attention.py:292 in the
+# r3 trace). r4 v5e A/B, 16f/10-step probe, two paired sessions:
+# ON 1.77/1.82/1.83/1.81 s vs OFF 1.82/1.81/1.84/1.83 s — ON <= OFF in
+# every pairing (~1%, noise-bounded but consistent, and strictly less
+# explicit data movement). 0 reverts. Param paths unchanged.
+_SPATIAL_VIA_DOT = _os.environ.get("INSV2V_SPATIAL_VIA_DOT", "1") == "1"
 
 
 class _BhsdProjIn(nn.Module):
@@ -517,23 +519,18 @@ class VersatileAttention(nn.Module):
                                            ).transpose(0, 2, 1, 3, 4
                                            ).reshape(b, p, m, self.head_dim)
             qh, kh, vh = pack(q), pack(k), pack(v)
-            head_id = jnp.arange(m) % self.heads
-            mask = jnp.where(head_id[:, None] == head_id[None, :], 0.0,
-                             -jnp.inf).astype(jnp.float32)
-            # the (B, P, m, m) logits are the temporal region's largest
-            # HBM tensor (302 MB/layer at the production shape); stored
-            # bf16 on TPU (~5.5% end-to-end, PERF.md r3; see
-            # ops/attention.py) — softmax still runs f32 after upcast
-            from insv2v_tpu.ops.attention import logits_bf16
+            # Fused Pallas kernel on TPU for the production m=128 packing:
+            # qk^T + masked softmax + pv in one kernel, so the (B, P, m, m)
+            # logits — the temporal region's largest HBM tensor (302
+            # MB/layer f32 at the production shape) — never leave VMEM.
+            # Elsewhere (CPU goldens, odd m) the XLA batched-matmul form
+            # with bf16-on-TPU logits storage (PERF.md r3). Same math; the
+            # kernel's softmax is exact f32 (no bf16 logits quantization).
+            from insv2v_tpu.ops.attention import dispatch_packed_temporal
 
-            acc_dt = jnp.bfloat16 if logits_bf16() else jnp.float32
-            logits = jnp.einsum("bpme,bpne->bpmn", qh, kh,
-                                preferred_element_type=acc_dt
-                                ).astype(jnp.float32)
-            logits = logits * scale + mask
-            probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-            o = jnp.einsum("bpmn,bpne->bpme", probs, vh,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+            o = dispatch_packed_temporal(
+                qh, kh, vh, self.heads, float(self.head_dim) ** -0.5
+            ).astype(x.dtype)
             if via_dot:  # contract (h, e) jointly straight back to C
                 return _PackedProjOut(self.heads, self.head_dim, c,
                                       dtype=self.dtype, name="to_out")(o, f)

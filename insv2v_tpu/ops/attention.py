@@ -241,6 +241,196 @@ def _on_tpu() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# Fused packed temporal attention (VERDICT r3 #3).
+#
+# The striped-packed temporal attention (models/unet3d.py VersatileAttention:
+# heads*frames merged into one m=128 axis, block-diagonal -inf mask on
+# cross-head entries) runs in XLA as a batched 128x128 matmul pair whose
+# (B, P, 128, 128) logits/probs round-trip HBM — the temporal region's
+# largest HBM term even stored bf16 (~302 MB/layer f32 at the production
+# shape, PERF.md r3). This kernel fuses qk^T + masked softmax + pv over a
+# block of pixels so the logits live only in VMEM. m is just 128, so a
+# plain (not online) softmax suffices; the mask is computed in-kernel from
+# iota (striped packing => head id = index % heads).
+# ---------------------------------------------------------------------------
+
+_PTA_BLKP = int(_os_top.environ.get("INSV2V_PTA_BLKP", "16"))
+# INSV2V_FUSED_TEMPORAL: 1 routes the packed temporal attention through the
+# Pallas kernel on TPU (and under INSV2V_FLASH_INTERPRET for CPU tests).
+# Default OFF: measured SLOWER than the XLA batched-matmul form on the
+# v5e 16f/10-step probe in every configuration tried — batch mode 1.89 s
+# (blk_p=16) / 1.94 s (blk_p=4), bigblock 1.98 s (blk_p=4) / 2.00 s
+# (blk_p=8), vs 1.79 s XLA (blk_p 64/128 fail to lower). XLA pipelines
+# the batched 128x128 matmuls + fused softmax better than Mosaic's
+# unrolled batch dots despite the extra logits HBM round trip. See
+# PERF.md r4 "Negative results".
+_FUSED_TEMPORAL = _os_top.environ.get("INSV2V_FUSED_TEMPORAL", "0") == "1"
+# kernel inner form: "batch" = one (blk_p, m, m) batched dot pair (Mosaic
+# unrolls the batch); "bigblock" = merge blk_p pixels into ONE
+# (blk_p*m, blk_p*m) masked matmul pair — blk_p x the issued FLOPs but a
+# single large MXU op per block.
+_PTA_MODE = _os_top.environ.get("INSV2V_PTA_MODE", "batch")
+
+
+def _packed_temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                            scale: float):
+    """One (blk_p, m, e) pixel block: per-pixel m x m attention with the
+    cross-head block-diagonal mask; logits stay in VMEM."""
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    _, m, _ = q.shape
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (blk_p, m, m)
+    row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    mask = jnp.where(row % heads == col % heads, 0.0, -jnp.inf
+                     ).astype(jnp.float32)
+    s = s * jnp.float32(scale) + mask[None]
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - mx)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (blk_p, m, e)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _packed_temporal_kernel_bigblock(q_ref, k_ref, v_ref, o_ref, *,
+                                     heads: int, scale: float):
+    """blk_p pixels merged into ONE (blk_p*m, blk_p*m) masked matmul pair:
+    the mask zeroes cross-pixel AND cross-head entries, so the fused
+    softmax+PV over the merged axis equals the per-pixel form. blk_p x
+    issued FLOPs, but a single large MXU op per block (vs blk_p small
+    batched dots the compiler unrolls)."""
+    blk_p, m, e = q_ref.shape
+    n = blk_p * m
+    q = q_ref[:].reshape(n, e)
+    k = k_ref[:].reshape(n, e)
+    v = v_ref[:].reshape(n, e)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (n, n)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ok = (row // m == col // m) & (row % heads == col % heads)
+    s = jnp.where(ok, s * jnp.float32(scale), -jnp.inf)
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - mx)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[:] = o.reshape(blk_p, m, e).astype(o_ref.dtype)
+
+
+def packed_temporal_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: Optional[float] = None,
+    blk_p: Optional[int] = None,
+    interpret: bool = False,
+    mode: Optional[str] = None,
+) -> jnp.ndarray:
+    """Fused packed temporal attention. q/k/v: (B, P, m, e) striped-packed
+    (m = frames*heads, frame-major so head id = index % heads); returns
+    softmax(q k^T * scale + blockdiag_mask) v in (B, P, m, e)."""
+    b, p_, m, e = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(e)
+    if blk_p is None:
+        blk_p = _PTA_BLKP
+    if not interpret:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except RuntimeError:  # pragma: no cover
+            interpret = True
+
+    n = b * p_
+    blk_p = min(blk_p, n)
+    np_ = _round_up(n, blk_p)
+    qf = q.reshape(n, m, e)
+    kf = k.reshape(n, m, e)
+    vf = v.reshape(n, m, e)
+    if np_ != n:
+        pad = ((0, np_ - n), (0, 0), (0, 0))
+        qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
+
+    if mode is None:
+        mode = _PTA_MODE
+    kfn = (_packed_temporal_kernel_bigblock if mode == "bigblock"
+           else _packed_temporal_kernel)
+    kernel = functools.partial(kfn, heads=heads, scale=scale)
+    spec = pl.BlockSpec((blk_p, m, e), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // blk_p,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((np_, m, e), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:n].reshape(b, p_, m, e)
+
+
+def packed_temporal_attention_xla(q, k, v, heads: int,
+                                  scale: Optional[float] = None):
+    """The XLA form of the same math (the r2/r3 production path): batched
+    matmuls with the (B, P, m, m) logits in HBM (bf16 on TPU). Kept as the
+    fallback for non-128 m, the CPU/golden path, and the VJP recompute."""
+    m = q.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    head_id = jnp.arange(m) % heads
+    mask = jnp.where(head_id[:, None] == head_id[None, :], 0.0,
+                     -jnp.inf).astype(jnp.float32)
+    acc_dt = jnp.bfloat16 if logits_bf16() else jnp.float32
+    logits = jnp.einsum("bpme,bpne->bpmn", q, k,
+                        preferred_element_type=acc_dt).astype(jnp.float32)
+    logits = logits * jnp.float32(scale) + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bpmn,bpne->bpme", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _packed_temporal_with_vjp(q, k, v, heads, scale):
+    return packed_temporal_attention(q, k, v, heads, scale=scale)
+
+
+def _packed_temporal_fwd(q, k, v, heads, scale):
+    return packed_temporal_attention(q, k, v, heads, scale=scale), (q, k, v)
+
+
+def _packed_temporal_bwd(heads, scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: packed_temporal_attention_xla(
+            q_, k_, v_, heads, scale=scale), q, k, v)
+    return vjp(g)
+
+
+_packed_temporal_with_vjp.defvjp(_packed_temporal_fwd, _packed_temporal_bwd)
+
+
+def dispatch_packed_temporal(q, k, v, heads: int, scale: float):
+    """Kernel on TPU for the MXU-shaped m=128 production packing (and under
+    INSV2V_FLASH_INTERPRET so CPU tests exercise the kernel code path);
+    XLA batched matmuls otherwise."""
+    m = q.shape[2]
+    use_kernel = (
+        _FUSED_TEMPORAL
+        and (_on_tpu() or _FLASH_INTERPRET)
+        and m == 128
+        and m % heads == 0
+    )
+    if use_kernel:
+        return _packed_temporal_with_vjp(q, k, v, heads, scale)
+    return packed_temporal_attention_xla(q, k, v, heads, scale=scale)
+
+
 def dot_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -209,7 +209,7 @@ def _round_up(x: int, m: int) -> int:
 
 def fused_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2,
                    *, eps: float = 1e-5,
-                   blk_m: int = 512, blk_n: int = 256,
+                   blk_m: Optional[int] = None, blk_n: int = 256,
                    interpret: bool = False):
     """x: (..., C); w1/b1: (C, 2*inner)/(2*inner,); w2/b2: (inner, C)/(C,).
 
@@ -222,8 +222,11 @@ def fused_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2,
     blk_n = min(blk_n, inner)
     while inner % blk_n:  # inner is 4*C; all model widths divide cleanly
         blk_n //= 2
-    if c > 640:  # streamed path row-block size (env A/B)
-        blk_m = _FF_BLKM_STREAM
+    blk_m_default = blk_m is None
+    if blk_m_default:
+        # default row-block sizes (env knobs for on-device A/B); an
+        # explicit caller blk_m wins on both paths (ADVICE r3)
+        blk_m = _FF_BLKM_STREAM if c > 640 else 512
     blk_m = min(blk_m, _round_up(max(int(x.size // c), 1), 8))
 
     rows = 1
@@ -254,7 +257,8 @@ def fused_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2,
         # weights fully resident; one pass per row block. blk_m trades
         # the (rows, 4C) f32 GEGLU intermediate against VMEM.
         # (env knobs for on-device A/B; defaults are the r2-tuned values)
-        blk_m = min(blk_m, _FF_BLKM_RES_SMALL if c <= 384 else _FF_BLKM_RES)
+        if blk_m_default:
+            blk_m = min(blk_m, _FF_BLKM_RES_SMALL if c <= 384 else _FF_BLKM_RES)
         rows_p2 = _round_up(rows_p, blk_m)
         if rows_p2 != x2.shape[0]:
             x2 = jnp.pad(x2, ((0, rows_p2 - x2.shape[0]), (0, 0)))

@@ -199,6 +199,76 @@ def test_run_loveu_cli_smoke(tmp_path, monkeypatch):
     assert metrics["videos"] == 0  # all skipped on resume
 
 
+def _write_loveu_fixture(tmp_path):
+    import cv2
+
+    (tmp_path / "DAVIS_480p" / "480p_videos").mkdir(parents=True)
+    vw = cv2.VideoWriter(str(tmp_path / "DAVIS_480p/480p_videos/bear.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 8, (48, 48))
+    rs = np.random.RandomState(0)
+    for _ in range(8):
+        vw.write((rs.rand(48, 48, 3) * 255).astype(np.uint8))
+    vw.release()
+    with open(tmp_path / "LOVEU-TGVE-2023_Dataset.csv", "w") as f:
+        f.write("Video name,Original,Style,Object,Background,Multiple\n")
+        f.write("DAVIS Videos:,,,,,\n")
+        f.write("bear,a bear,styled bear,a panda,bear on moon,panda on moon\n")
+
+
+def test_run_loveu_prompt_source(tmp_path, monkeypatch):
+    """--prompt-source must drive which prompt is fed: 'edit' uses the
+    edit-instruction dict (the reference's default benchmark mode,
+    insv2v_run_loveu_tgve.py:100-111), 'original' the CSV captions, and
+    a missing dict falls back to captions with a warning."""
+    _write_loveu_fixture(tmp_path)
+    edit_dict = {"bear": {"edit_style": "make it impressionist",
+                          "edit_object": "turn the bear into a panda",
+                          "edit_background": "set it on the moon",
+                          "edit_multiple": "panda, moon, impressionist"}}
+    with open(tmp_path / "loveu_tgve_edit_prompt_dict.json", "w") as f:
+        json.dump(edit_dict, f)
+
+    from insv2v_tpu.apps import edit_video, run_loveu_tgve
+
+    seen = []
+
+    def fake_make_editor(*a, **k):
+        def editor(frames, prompts, **kw):
+            seen.extend(prompts)
+            return np.zeros((len(prompts),) + frames.shape, np.float32)
+
+        return editor
+
+    monkeypatch.setattr(edit_video, "make_editor", fake_make_editor)
+    common = ["--config-path", "unused.yaml", "--data-dir", str(tmp_path),
+              "--allow-random-weights", "--image-size", "32",
+              "--num-frames", "4", "--steps", "2",
+              "--frames-in-batch", "4", "--num-ref-frames", "2"]
+
+    out_edit = str(tmp_path / "out_edit")
+    run_loveu_tgve.main(common + ["--output-dir", out_edit,
+                                  "--prompt-source", "edit"])
+    assert set(seen) == {v for v in edit_dict["bear"].values()}
+    used = json.load(open(os.path.join(out_edit, "prompts_used.json")))
+    assert used[[t for t in used if "style" in t][0]] == "make it impressionist"
+
+    seen.clear()
+    out_orig = str(tmp_path / "out_orig")
+    run_loveu_tgve.main(common + ["--output-dir", out_orig,
+                                  "--prompt-source", "original"])
+    assert set(seen) == {"styled bear", "a panda", "bear on moon",
+                         "panda on moon"}
+
+    # missing dict: loud fallback to the caption columns
+    seen.clear()
+    os.remove(tmp_path / "loveu_tgve_edit_prompt_dict.json")
+    out_fb = str(tmp_path / "out_fb")
+    run_loveu_tgve.main(common + ["--output-dir", out_fb,
+                                  "--prompt-source", "edit"])
+    assert set(seen) == {"styled bear", "a panda", "bear on moon",
+                         "panda on moon"}
+
+
 @pytest.mark.slow
 def test_train_cli_smoke(tmp_path, monkeypatch):
     cfg = write_tiny_config(tmp_path)

@@ -321,3 +321,107 @@ def test_attention_bf16_logits_mode():
         am._LOGITS_BF16 = old
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
     assert err.max() < 0.05, err.max()
+
+
+class TestPackedTemporalKernel:
+    """Fused Pallas packed-temporal-attention kernel (VERDICT r3 #3):
+    interpret mode vs the XLA batched-matmul form vs per-head attention."""
+
+    def _qkv(self, b=2, p=5, f=4, heads=4, e=8, seed=0):
+        import jax
+
+        rng = jax.random.PRNGKey(seed)
+        m = f * heads
+        mk = lambda i: jax.random.normal(jax.random.fold_in(rng, i),
+                                         (b, p, m, e), jnp.float32)
+        return mk(0), mk(1), mk(2), heads, f, e
+
+    def test_kernel_matches_xla_packed(self):
+        from insv2v_tpu.ops.attention import (packed_temporal_attention,
+                                              packed_temporal_attention_xla)
+
+        q, k, v, heads, f, e = self._qkv()
+        scale = e ** -0.5
+        got = packed_temporal_attention(q, k, v, heads, scale=scale,
+                                        blk_p=4, interpret=True)
+        ref = packed_temporal_attention_xla(q, k, v, heads, scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_kernel_matches_per_head_attention(self):
+        """The striped packing (index = frame*heads + head) + block-diag
+        mask must equal plain per-head attention over the frame axis."""
+        from insv2v_tpu.ops.attention import attention as plain
+        from insv2v_tpu.ops.attention import packed_temporal_attention
+
+        q, k, v, heads, f, e = self._qkv(seed=3)
+        b, p, m, _ = q.shape
+        got = packed_temporal_attention(q, k, v, heads, blk_p=8,
+                                        interpret=True)
+        # unpack striped (m, e) -> (f, heads, e) -> per-head (B*P, heads, f, e)
+        unpack = lambda t: t.reshape(b * p, f, heads, e).transpose(0, 2, 1, 3)
+        ref = plain(unpack(q), unpack(k), unpack(v))
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, p, m, e)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bigblock_mode_matches_xla_packed(self):
+        from insv2v_tpu.ops.attention import (packed_temporal_attention,
+                                              packed_temporal_attention_xla)
+
+        q, k, v, heads, f, e = self._qkv(b=1, p=6, seed=11)
+        got = packed_temporal_attention(q, k, v, heads, blk_p=4,
+                                        interpret=True, mode="bigblock")
+        ref = packed_temporal_attention_xla(q, k, v, heads)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_kernel_pads_ragged_pixel_count(self):
+        from insv2v_tpu.ops.attention import (packed_temporal_attention,
+                                              packed_temporal_attention_xla)
+
+        q, k, v, heads, f, e = self._qkv(b=1, p=7, seed=5)
+        got = packed_temporal_attention(q, k, v, heads, blk_p=4,
+                                        interpret=True)
+        ref = packed_temporal_attention_xla(q, k, v, heads)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_vjp_matches_xla_grad(self):
+        from insv2v_tpu.ops import attention as am
+
+        q, k, v, heads, f, e = self._qkv(b=1, p=3, seed=7)
+        scale = e ** -0.5
+
+        def loss_ref(q_, k_, v_):
+            return jnp.sum(
+                am.packed_temporal_attention_xla(q_, k_, v_, heads,
+                                                 scale=scale) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        # registered bwd rule recomputes via the XLA form
+        _, vjp = jax.vjp(
+            lambda a, b_, c: am.packed_temporal_attention_xla(
+                a, b_, c, heads, scale=scale), q, k, v)
+        g_direct = vjp(2 * am.packed_temporal_attention_xla(
+            q, k, v, heads, scale=scale))
+        for ga, gb in zip(g_ref, g_direct):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       atol=1e-4)
+
+    def test_dispatch_uses_kernel_under_interpret_flag(self, monkeypatch):
+        """INSV2V_FLASH_INTERPRET routes dispatch through the kernel even on
+        CPU (the sharded-kernel tests rely on this to cover the kernel
+        code path), and the production m=128 shape must agree with the
+        XLA path."""
+        from insv2v_tpu.ops import attention as am
+
+        q, k, v, heads, f, e = self._qkv(b=1, p=3, f=16, heads=8, e=8,
+                                         seed=9)
+        assert q.shape[2] == 128
+        ref = am.packed_temporal_attention_xla(q, k, v, heads)
+        monkeypatch.setattr(am, "_FLASH_INTERPRET", True)
+        monkeypatch.setattr(am, "_FUSED_TEMPORAL", True)
+        got = am.dispatch_packed_temporal(q, k, v, heads, e ** -0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -161,6 +161,40 @@ class TestWindowSampler:
         np.testing.assert_allclose(np.asarray(a["latent"]), np.asarray(b["latent"]),
                                    atol=1e-4)
 
+    def test_flow_batched_matches_solo(self):
+        """Flow-compensated correction with a prompt-batched call: element k
+        must equal its own batch-1 call (each element's ref deltas are
+        warped independently — the r3 advisor found element k>0 silently
+        received element 0's warped deltas)."""
+        tables = make_sampler_tables(SCHED, 3, kind="ddim")
+        rng = jax.random.PRNGKey(11)
+        nb = 2
+        latent_ref = jax.random.normal(rng, (nb, F, H, W, C))
+        lat = jax.random.normal(jax.random.fold_in(rng, 1), (nb, F, H, W, C))
+        cond = jax.random.normal(jax.random.fold_in(rng, 2), (nb, F, H, W, C))
+        # distinct text contexts => distinct eps per element (probe_unet
+        # adds the ctx mean), exercising per-element deltas
+        tc = jnp.stack([jnp.full((3, 5), 1.0), jnp.full((3, 5), -2.0)])
+        tu = jnp.zeros((nb, 3, 5))
+        # non-trivial flow: constant 1-pixel shift, full validity
+        flows = jnp.ones((F, 2, H, W, 2))
+        masks = jnp.ones((F, 2, H, W, 1))
+        common = dict(text_cfg=2.0, img_cfg=1.5, num_ref_frames=2,
+                      noise_correct_step=1.0, flows=flows, flow_masks=masks,
+                      share_batch_noise=True)
+        batched = sample_video_window(
+            probe_unet, None, tables, lat, cond, tc, tu,
+            jax.random.PRNGKey(4), latent_ref=latent_ref, **common)
+        for kk in range(nb):
+            solo = sample_video_window(
+                probe_unet, None, tables, lat[kk:kk + 1], cond[kk:kk + 1],
+                tc[kk:kk + 1], tu[kk:kk + 1], jax.random.PRNGKey(4),
+                latent_ref=latent_ref[kk:kk + 1], **common)
+            np.testing.assert_allclose(
+                np.asarray(batched["latent"][kk]),
+                np.asarray(solo["latent"][0]), atol=1e-5,
+                err_msg=f"batch element {kk} != solo call")
+
 
 class TestSplitWindows:
     def reference_split(self, total, fib=16, nref=4):
