@@ -193,6 +193,34 @@ def main():
 
     windows = split_windows(NUM_FRAMES, WINDOW, NUM_REF)
 
+    # BENCH_AOT=1: serve window_ref from the AOT executable cache
+    # (utils/aot_cache.py) — a warm start then skips Python tracing +
+    # StableHLO lowering of the huge window program, not just the XLA
+    # compile (VERDICT r3 #8: the ~118 s cache-warm warmup paid per
+    # LOVEU shard worker). Dispatcher keyed on batch size; falls back
+    # to the plain jit for unseen shapes.
+    if os.environ.get("BENCH_AOT", "0") == "1":
+        from insv2v_tpu.utils.aot_cache import load_or_compile
+
+        def _ex_args(b):
+            z = lambda *s: jnp.zeros(s, jnp.float32)
+            ctx_z = jnp.zeros((b, 77, cfg.cross_attention_dim), jnp.bfloat16)
+            return (params, z(b, WINDOW, h, w, 4), z(b, WINDOW, h, w, 4),
+                    ctx_z, ctx_z, jax.random.PRNGKey(0),
+                    z(b, WINDOW, h, w, 4), jnp.int32(0), jnp.int32(0))
+
+        _w_jit = window_ref
+        _w_aot = {}
+        for _b in {1, BATCH if BATCH > 1 else 1}:
+            t_a = time.perf_counter()
+            _w_aot[_b] = load_or_compile(f"window_ref_{STEPS}s", _w_jit,
+                                         *_ex_args(_b))
+            print(f"# aot load/compile window_ref b={_b}: "
+                  f"{time.perf_counter()-t_a:.1f}s", file=sys.stderr)
+
+        def window_ref(p, latent, *rest):  # noqa: F811 — aot dispatcher
+            return _w_aot.get(latent.shape[0], _w_jit)(p, latent, *rest)
+
     def run_chain(seed, b, tc, tu, cond_all):
         """The windowed denoise chain at video batch b (dual-CFG => 3b)."""
         key = jax.random.PRNGKey(seed)

@@ -190,38 +190,6 @@ def main():
     except Exception as e:
         print(f"# memory_stats unavailable: {e}", file=sys.stderr)
 
-    # Allocation-probe bound (VERDICT r3 #7): memory_stats() is None
-    # through the axon relay, so bound the TRUE peak (residents + step
-    # temps) by the largest ballast allocation the step still runs
-    # beside: peak <= chip_capacity - ballast. Ascending ladder, stop at
-    # the first failure (runs LAST — a failed step leaves the donated
-    # state consumed, which is fine once measuring is done).
-    _HBM_CAPACITY = {"v5 lite": 15.75, "v5e": 15.75, "v5p": 95.0,
-                     "v4": 31.75, "v6": 31.25, "v3": 16.0}
-    if peak_hbm_gb is None and os.environ.get("TRAIN_PROBE_HBM", "1") != "0":
-        kind = str(getattr(dev, "device_kind", "")).lower()
-        cap = next((v for k, v in _HBM_CAPACITY.items() if k in kind), None)
-        if cap is not None:
-            ok_gb = 0.0
-            ballast = None
-            for gb in (0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0):
-                try:
-                    del ballast
-                    ballast = jax.block_until_ready(
-                        jnp.zeros((int(gb * 2**30) // 4,), jnp.float32))
-                    state, m2 = step_fn(state, make_batch(99), rng)
-                    jax.block_until_ready(m2)
-                    ok_gb = gb
-                    print(f"# hbm probe: step ran beside {gb} GiB ballast",
-                          file=sys.stderr)
-                except Exception as e:
-                    print(f"# hbm probe: failed at {gb} GiB ballast "
-                          f"({type(e).__name__})", file=sys.stderr)
-                    break
-            if ok_gb > 0:
-                peak_hbm_gb = round(cap - ok_gb, 2)
-                peak_hbm_source = f"alloc-probe bound (<= cap {cap} - "\
-                                  f"ballast {ok_gb} GiB)"
     # static fallback when the relay hides runtime memory stats: XLA's own
     # compile-time memory analysis (args + outputs + temps + generated code)
     hbm_analysis_gb = None
@@ -237,6 +205,45 @@ def main():
               f"= {hbm_analysis_gb} GiB", file=sys.stderr)
     except Exception as e:
         print(f"# memory_analysis unavailable: {e}", file=sys.stderr)
+
+    # Allocation-probe bound (VERDICT r3 #7): memory_stats() is None
+    # through the axon relay, so BRACKET the true peak (residents + step
+    # temps): the step ran bare (peak <= capacity), and the largest
+    # ballast it still runs beside tightens the upper bound while the
+    # smallest it fails beside gives a lower bound. Runs LAST — an
+    # OOM-failed step leaves the donated state consumed, which is fine
+    # once every other measurement is done.
+    _HBM_CAPACITY = {"v5 lite": 15.75, "v5e": 15.75, "v5p": 95.0,
+                     "v4": 31.75, "v6": 31.25, "v3": 16.0}
+    if peak_hbm_gb is None and os.environ.get("TRAIN_PROBE_HBM", "1") != "0":
+        kind = str(getattr(dev, "device_kind", "")).lower()
+        cap = next((v for k, v in _HBM_CAPACITY.items() if k in kind), None)
+        if cap is not None:
+            ok_gb, fail_gb = 0.0, None
+            ballast = None
+            for gb in (0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0):
+                try:
+                    del ballast
+                    ballast = jax.block_until_ready(
+                        jnp.zeros((int(gb * 2**30) // 4,), jnp.float32))
+                    state, m2 = step_fn(state, make_batch(99), rng)
+                    jax.block_until_ready(m2)
+                    ok_gb = gb
+                    print(f"# hbm probe: step ran beside {gb} GiB ballast",
+                          file=sys.stderr)
+                except Exception as e:
+                    fail_gb = gb
+                    ballast = None  # free it
+                    print(f"# hbm probe: failed at {gb} GiB ballast "
+                          f"({type(e).__name__})", file=sys.stderr)
+                    break
+            peak_hbm_gb = round(cap - ok_gb, 2)
+            lo = round(cap - fail_gb, 2) if fail_gb is not None else None
+            peak_hbm_source = (
+                f"alloc-probe: step ran beside {ok_gb} GiB ballast"
+                + (f", failed beside {fail_gb} GiB" if fail_gb else "")
+                + f" => peak in ({lo if lo is not None else '?'},"
+                f" {peak_hbm_gb}] GiB of cap {cap}")
 
     result = {
         "metric": "train_microbatch_time_s",

@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # shard workers pay warmup per process: serve the window samplers
+    # from the AOT executable cache (PERF.md r4: 129 s -> ~48 s)
+    os.environ.setdefault("INSV2V_AOT_PIPELINE", "1")
     from insv2v_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -14,6 +14,7 @@ has the same frame count with a *traced* ref-frame count and start index.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax
@@ -101,6 +102,20 @@ class VideoEditor:
             functools.partial(self._window_impl, with_ref=True, with_flow=True),
             static_argnames=("noise_correct_step",),
         )
+        # INSV2V_AOT_PIPELINE=1: serve the window samplers from the AOT
+        # executable cache — a warm worker start then skips tracing +
+        # lowering + compile-cache load of the big window program (129 s
+        # -> ~48 s start-to-first-edit measured on the v5e, PERF.md r4).
+        # The LOVEU runner turns this on for its shard workers.
+        if os.environ.get("INSV2V_AOT_PIPELINE", "0") == "1":
+            from insv2v_tpu.utils.aot_cache import lazy_aot
+
+            self._window_ref = lazy_aot(
+                "pipe_window_ref", self._window_ref,
+                static_names=("noise_correct_step",))
+            self._window_flow = lazy_aot(
+                "pipe_window_flow", self._window_flow,
+                static_names=("noise_correct_step",))
 
     # --- jitted pieces ----------------------------------------------------
 

@@ -128,6 +128,50 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, blk_k: int, sk: i
     o_ref[:] = (acc / l).astype(o_ref.dtype)
 
 
+def _flash_kernel_headfold(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                           blk_k: int, sk: int):
+    """VERDICT r4 #4 A/B variant: ALL heads of one q-block per grid step
+    (grid (B, Sq-blocks) instead of (B*H, Sq-blocks) — 8x fewer grid
+    steps, same MXU tile count; the d=40 pad itself is tile-conserved
+    under any block-diagonal head packing, see PERF.md r4).
+
+    q_ref: (1, H, blk_q, Dp); k_ref/v_ref: (1, H, Skp, Dp)."""
+    _, h, blk_q, dp = q_ref.shape
+    skp = k_ref.shape[2]
+    num_k_blocks = skp // blk_k
+
+    for i in range(h):  # static unroll over heads
+        q = q_ref[0, i].astype(jnp.float32) * scale
+
+        def body(j, carry):
+            m_prev, l_prev, acc = carry
+            k_blk = k_ref[0, i, pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
+            v_blk = v_ref[0, i, pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 1) + j * blk_k
+            s = jnp.where(col < sk, s, -jnp.inf)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc
+
+        m0 = jnp.full((blk_q, 1), -jnp.inf, dtype=jnp.float32)
+        l0 = jnp.zeros((blk_q, 1), dtype=jnp.float32)
+        acc0 = jnp.zeros((blk_q, dp), dtype=jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+        o_ref[0, i] = (acc / l).astype(o_ref.dtype)
+
+
+_FLASH_HEADFOLD = _os_top.environ.get("INSV2V_FLASH_HEADFOLD", "0") == "1"
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -136,6 +180,7 @@ def flash_attention(
     blk_q: Optional[int] = None,
     blk_k: Optional[int] = None,
     interpret: bool = False,
+    headfold: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Pallas flash-attention forward. q: (B,H,Sq,D); k,v: (B,H,Sk,D)."""
     if scale is None:
@@ -170,6 +215,30 @@ def flash_attention(
     # The r1 jnp.pad cost ~8 ms/step of pure pad writes plus 3.2x kernel
     # DMA on the 256x384 workload; only the MXU contraction still pays
     # the d=40->128 register padding (unavoidable).
+    if headfold is None:
+        headfold = _FLASH_HEADFOLD
+    if headfold:
+        # one grid step per (batch, q-block) covering ALL heads (r4 #4 A/B)
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, sqp - sq), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, skp - sk), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, skp - sk), (0, 0)))
+        kernel = functools.partial(_flash_kernel_headfold, scale=scale,
+                                   blk_k=blk_k, sk=sk)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, sqp // blk_q),
+            in_specs=[
+                pl.BlockSpec((1, h, blk_q, d), lambda ib, iq: (ib, 0, iq, 0)),
+                pl.BlockSpec((1, h, skp, d), lambda ib, iq: (ib, 0, 0, 0)),
+                pl.BlockSpec((1, h, skp, d), lambda ib, iq: (ib, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, h, blk_q, d),
+                                   lambda ib, iq: (ib, 0, iq, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype),
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out[:, :, :sq, :]
+
     qp = jnp.pad(q.reshape(b * h, sq, d), ((0, 0), (0, sqp - sq), (0, 0)))
     kp = jnp.pad(k.reshape(b * h, sk, d), ((0, 0), (0, skp - sk), (0, 0)))
     vp = jnp.pad(v.reshape(b * h, sk, d), ((0, 0), (0, skp - sk), (0, 0)))

@@ -79,6 +79,15 @@ class TestAttention:
         ref = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
+    def test_flash_headfold_matches_reference_interpret(self):
+        # r4 #4 A/B variant: all heads of a q-block per grid step
+        q, k, v = rnd(2, 3, 150, 40, seed=5), rnd(2, 3, 170, 40, seed=6), rnd(2, 3, 170, 40, seed=7)
+        got = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              blk_q=128, blk_k=128, interpret=True,
+                              headfold=True)
+        ref = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
     def test_dot_attention_dispatches_on_cpu(self):
         q = jnp.asarray(rnd(1, 1, 600, 32))
         out = dot_attention(q, q, q)  # CPU -> plain path, no crash
