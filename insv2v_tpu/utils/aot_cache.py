@@ -33,11 +33,33 @@ AOT_DIR = os.environ.get(
 _DISABLED = os.environ.get("INSV2V_AOT", "1") == "0"
 
 
+_code_fp_cache = None
+
+
+def _code_fingerprint() -> str:
+    """Hash of the package's .py files (path, size, mtime): unlike the
+    XLA persistent cache, the executable is loaded BEFORE any HLO
+    exists, so the key must carry a code-version component or a stale
+    entry would silently serve the old program after a code change."""
+    global _code_fp_cache
+    if _code_fp_cache is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha1()
+        for dirpath, _, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    st = os.stat(p)
+                    h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+        _code_fp_cache = h.hexdigest()[:12]
+    return _code_fp_cache
+
+
 def _key(name: str, args, kwargs) -> str:
     import jax
 
     dev = jax.devices()[0]
-    parts = [name, jax.__version__,
+    parts = [name, jax.__version__, _code_fingerprint(),
              str(getattr(dev, "device_kind", dev.platform))]
     if dev.platform != "tpu":
         # XLA:CPU AOT results are compiled for the builder's CPU flags;
@@ -102,9 +124,34 @@ def load_or_compile(name: str, jitted: Callable, *args: Any,
         with open(tmp, "wb") as f:
             pickle.dump(serialize(compiled), f)
         os.replace(tmp, path)  # atomic for concurrent shard workers
+        _prune(keep=path)
     except Exception as e:
         print(f"# aot cache write failed for {name}: {e}", flush=True)
     return _safe(compiled, jitted)
+
+
+def _prune(keep: str, max_bytes: int = None) -> None:
+    """Drop oldest entries once the dir exceeds INSV2V_AOT_MAX_GB
+    (default 8 — window executables are ~450 MB each; stale entries
+    from previous code versions never hit again)."""
+    if max_bytes is None:
+        max_bytes = int(float(os.environ.get("INSV2V_AOT_MAX_GB", "8"))
+                        * 2**30)
+    try:
+        entries = []
+        for fn in os.listdir(AOT_DIR):
+            p = os.path.join(AOT_DIR, fn)
+            if p != keep and fn.endswith(".pjrt"):
+                st = os.stat(p)
+                entries.append((st.st_mtime, st.st_size, p))
+        total = sum(s for _, s, _ in entries) + os.path.getsize(keep)
+        for _, size, p in sorted(entries):
+            if total <= max_bytes:
+                break
+            os.remove(p)
+            total -= size
+    except Exception:  # pragma: no cover — pruning must never fail a save
+        pass
 
 
 def lazy_aot(name: str, jitted: Callable,
