@@ -211,10 +211,14 @@ def main():
 
         _w_jit = window_ref
         _w_aot = {}
+        # extra = the closure constants baked into window_ref (sampler
+        # tables + CFG scales + anchoring fraction) — the AOT key cannot
+        # see them (aot_cache docstring)
+        _extra = ("ddim", STEPS, 7.5, 1.2, 0.5)
         for _b in {1, BATCH if BATCH > 1 else 1}:
             t_a = time.perf_counter()
             _w_aot[_b] = load_or_compile(f"window_ref_{STEPS}s", _w_jit,
-                                         *_ex_args(_b))
+                                         *_ex_args(_b), extra=_extra)
             print(f"# aot load/compile window_ref b={_b}: "
                   f"{time.perf_counter()-t_a:.1f}s", file=sys.stderr)
 

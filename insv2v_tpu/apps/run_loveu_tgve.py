@@ -178,14 +178,21 @@ def main(argv=None):
     with open(os.path.join(args.output_dir, "throughput.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     if prompts_used:  # provenance: which prompt each output was edited with
-        path = os.path.join(args.output_dir, "prompts_used.json")
+        # per-shard file + atomic replace: N shard workers share one
+        # output dir, and a read-merge-write of a single file would race
+        # (lost entries / a reader seeing a half-written file)
+        fname = ("prompts_used.json" if args.num_shards == 1
+                 else f"prompts_used.shard{args.shard_index:02d}.json")
+        path = os.path.join(args.output_dir, fname)
         merged = {}
-        if os.path.exists(path):
+        if os.path.exists(path):  # same-shard resume only
             with open(path) as f:
                 merged = json.load(f)
         merged.update(prompts_used)
-        with open(path, "w") as f:
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(merged, f, indent=2)
+        os.replace(tmp, path)
     print(json.dumps(metrics))
 
 

@@ -110,12 +110,17 @@ class VideoEditor:
         if os.environ.get("INSV2V_AOT_PIPELINE", "0") == "1":
             from insv2v_tpu.utils.aot_cache import lazy_aot
 
+            # extra carries every closure constant that shapes the window
+            # program (the AOT key cannot see them — aot_cache docstring):
+            # scheduler kind + step count + beta schedule => self.tables
+            sampler_cfg = (scheduler, num_steps,
+                           repr(sorted((beta_schedule_kwargs or {}).items())))
             self._window_ref = lazy_aot(
                 "pipe_window_ref", self._window_ref,
-                static_names=("noise_correct_step",))
+                static_names=("noise_correct_step",), extra=sampler_cfg)
             self._window_flow = lazy_aot(
                 "pipe_window_flow", self._window_flow,
-                static_names=("noise_correct_step",))
+                static_names=("noise_correct_step",), extra=sampler_cfg)
 
     # --- jitted pieces ----------------------------------------------------
 

@@ -12,9 +12,10 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("INSV2V_ABLATE", None)  # never let perf-ablation hooks leak in
 # the LOVEU runner setdefaults INSV2V_AOT_PIPELINE=1 for its workers;
-# pin it off for the suite so app smoke tests don't write AOT entries
-# (tests that want the AOT path set it explicitly via monkeypatch)
-os.environ.setdefault("INSV2V_AOT_PIPELINE", "0")
+# pin it off for the suite (unconditionally — the shell may have it
+# exported) so app smoke tests don't write AOT entries; tests that want
+# the AOT path set it explicitly via monkeypatch
+os.environ["INSV2V_AOT_PIPELINE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

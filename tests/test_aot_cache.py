@@ -59,6 +59,44 @@ def test_lazy_aot_static_kwargs_and_fallback(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(wrapped(x8, gain=3.0)), 6.0)
 
 
+def test_extra_separates_closure_constants(tmp_path, monkeypatch):
+    """Closure constants are invisible to the aval-based key: callers
+    pass them via ``extra`` — two jits differing only in a baked
+    constant must NOT share an executable (the r4 self-review found a
+    stale num_steps=2 sampler served for a num_steps=5 call)."""
+    from insv2v_tpu.utils import aot_cache
+
+    monkeypatch.setattr(aot_cache, "AOT_DIR", str(tmp_path))
+
+    def make(nsteps):
+        return jax.jit(lambda x: x * nsteps)
+
+    x = jnp.full((4,), 2.0)
+    a = aot_cache.lazy_aot("w", make(2), extra=(2,))
+    b = aot_cache.lazy_aot("w", make(5), extra=(5,))
+    np.testing.assert_allclose(np.asarray(a(x)), 4.0)
+    np.testing.assert_allclose(np.asarray(b(x)), 10.0)  # not the stale 4.0
+    assert len(os.listdir(tmp_path)) == 2
+
+
+def test_prune_respects_cap_and_orphans(tmp_path, monkeypatch):
+    from insv2v_tpu.utils import aot_cache
+
+    monkeypatch.setattr(aot_cache, "AOT_DIR", str(tmp_path))
+    names = ["a.pjrt", "b.pjrt", "c.pjrt"]
+    for i, n in enumerate(names):
+        p = tmp_path / n
+        p.write_bytes(b"x" * 100)
+        os.utime(p, (i, i))  # a oldest
+    orphan = tmp_path / "d.pjrt.tmp123"
+    orphan.write_bytes(b"x" * 100)
+    os.utime(orphan, (0, 0))  # stale (>1h old)
+    aot_cache._prune(keep=str(tmp_path / "c.pjrt"), max_bytes=250)
+    left = sorted(os.listdir(tmp_path))
+    assert "d.pjrt.tmp123" not in left  # stale orphan removed
+    assert "c.pjrt" in left and "a.pjrt" not in left  # oldest pruned
+
+
 def test_disabled_env_returns_jitted(monkeypatch):
     from insv2v_tpu.utils import aot_cache
 
