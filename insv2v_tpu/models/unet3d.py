@@ -778,6 +778,33 @@ class UpBlock3D(nn.Module):
         return x
 
 
+# INSV2V_SP_AXIS (sequence parallel, beyond-parity — SURVEY §2.2 lists
+# frame-axis sharding as optional headroom): name of a mesh axis to shard
+# the FRAME dim of the (B, F, H, W, C) activation stream over. With the
+# constraint pinned at conv_in and after every down/mid/up block, GSPMD
+# keeps the frame-local ops (convs, spatial attention — frames fold into
+# batch) fully local and inserts exactly the collectives the
+# frame-coupled ops need: all-gathers around the temporal attention's
+# F-axis contraction and psums for the across-frame GroupNorm stats
+# (ResnetBlock3D). Callers enter `jax.set_mesh(mesh)` with the axis
+# present; without an ambient mesh the constraint is skipped. Default
+# off; single-video multi-chip latency is the use case (the per-chip
+# bench saturates at the CFG triple, PERF.md r3).
+_SP_AXIS = _os.environ.get("INSV2V_SP_AXIS", "")
+
+
+def _sp_constrain(x):
+    if not _SP_AXIS:
+        return x
+    from jax.sharding import PartitionSpec as _P
+
+    try:
+        return jax.lax.with_sharding_constraint(
+            x, _P(None, _SP_AXIS, None, None, None))
+    except Exception:  # no ambient mesh / axis absent: advisory only
+        return x
+
+
 @register("UNet3DConditionModel")
 class UNet3DConditionModel(nn.Module):
     """Forward (unet.py:296-434): sample (B,F,H,W,C_in), timesteps (B,),
@@ -801,6 +828,7 @@ class UNet3DConditionModel(nn.Module):
 
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(sample)
+        x = _sp_constrain(x)
 
         down_cls = nn.remat(DownBlock3D) if cfg.remat else DownBlock3D
         mid_cls = nn.remat(MidBlock3D) if cfg.remat else MidBlock3D
@@ -819,10 +847,12 @@ class UNet3DConditionModel(nn.Module):
                 add_downsample=not is_final,
                 dtype=self.dtype, name=f"down_blocks_{i}",
             )(x, temb, encoder_hidden_states, video_start_index)
+            x = _sp_constrain(x)
             skips.extend(states)
 
         x = mid_cls(cfg, dtype=self.dtype, name="mid_block")(
             x, temb, encoder_hidden_states, video_start_index)
+        x = _sp_constrain(x)
 
         rev_channels = list(reversed(cfg.block_out_channels))
         n_res = cfg.layers_per_block + 1
@@ -839,6 +869,7 @@ class UNet3DConditionModel(nn.Module):
                 add_upsample=not is_final,
                 dtype=self.dtype, name=f"up_blocks_{i}",
             )(x, block_skips, temb, encoder_hidden_states, video_start_index)
+            x = _sp_constrain(x)
 
         x = GroupNorm(cfg.norm_num_groups, eps=cfg.norm_eps, name="conv_norm_out")(x)
         x = jax.nn.silu(x)

@@ -52,3 +52,54 @@ def test_batch_sharded_window_sampler_matches_single_device():
                                rtol=5e-4, atol=1e-4)
     # the result really is laid out across all 8 devices
     assert len(sharded.sharding.device_set) == 8
+
+
+def test_frame_sharded_window_sampler_matches_single_device(monkeypatch):
+    """Sequence parallel (INSV2V_SP_AXIS): ONE video's 8-frame window with
+    the FRAME axis sharded over all 8 devices matches the unsharded
+    result — GSPMD inserts the temporal-attention all-gathers and the
+    across-frame GroupNorm psums from the layout constraint alone
+    (models/unet3d.py::_sp_constrain)."""
+    import numpy as onp
+    from jax.sharding import Mesh
+
+    from insv2v_tpu.models import unet3d
+
+    mesh = Mesh(onp.asarray(jax.devices()), ("sp",))
+    model = UNet3DConditionModel(cfg=UNetConfig.tiny())
+    sched = DiffusionSchedule.create()
+    tables = make_sampler_tables(sched, 2, kind="ddim")
+
+    F = 8  # one frame per device
+    rngs = jax.random.PRNGKey(0)
+    lat = jax.random.normal(rngs, (1, F, 8, 8, 4))
+    cond = jax.random.normal(jax.random.fold_in(rngs, 1), (1, F, 8, 8, 4))
+    tc = jax.random.normal(jax.random.fold_in(rngs, 2), (1, 3, 12))
+    tu = jnp.zeros((1, 3, 12))
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 2, 8, 8, 8)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 12)))["params"]
+
+    def unet_apply(p, s, t, c, vsi):
+        return model.apply({"params": p}, s, t, c, video_start_index=vsi)
+
+    def run(p, lat, cond, tc, tu):
+        return sample_video_window(
+            unet_apply, p, tables, lat, cond, tc, tu, jax.random.PRNGKey(3),
+            text_cfg=4.0, img_cfg=1.3, latent_ref=jnp.zeros_like(lat),
+            num_ref_frames=2, noise_correct_step=0.5)["latent"]
+
+    single = jax.jit(run)(params, lat, cond, tc, tu)
+
+    monkeypatch.setattr(unet3d, "_SP_AXIS", "sp")
+    frame_sh = NamedSharding(mesh, P(None, "sp"))
+    rep = NamedSharding(mesh, P())
+    rep_tree = jax.tree_util.tree_map(lambda _: rep, params)
+    with jax.set_mesh(mesh):
+        sharded = jax.jit(
+            run,
+            in_shardings=(rep_tree, frame_sh, frame_sh, rep, rep),
+            out_shardings=frame_sh,
+        )(params, lat, cond, tc, tu)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=5e-4, atol=1e-4)
+    assert len(sharded.sharding.device_set) == 8
