@@ -105,26 +105,35 @@ def main():
         print("no perfetto trace produced; files:",
               glob.glob(f"{trace_dir}/**/*", recursive=True))
         return
+    import re
+
     with gzip.open(traces[0], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
     pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
                  for e in events if e.get("ph") == "M"
                  and e.get("name") == "process_name"}
+    # the backward is tens of thousands of distinct fusion names at <0.3%
+    # each — aggregate by op CLASS (name sans trailing digits), dropping
+    # the whole-program jit_* envelope and numeric queue-lane rows that
+    # double-count everything
     agg = {}
     for e in events:
         if e.get("ph") != "X":
             continue
-        pname = pid_names.get(e.get("pid"), "")
-        if "TPU" not in str(pname) and "device" not in str(pname).lower():
+        pname = str(pid_names.get(e.get("pid"), ""))
+        if "TPU" not in pname and "device" not in pname.lower():
             continue
         name = e.get("name", "?")
-        agg[name] = agg.get(name, 0.0) + e.get("dur", 0.0)
+        if name.startswith("jit_") or name.isdigit():
+            continue
+        cls = re.sub(r"[.\d]+$", "", name)
+        agg[cls] = agg.get(cls, 0.0) + e.get("dur", 0.0)
     total = sum(agg.values())
     nmb = reps * accum
-    print(f"# {len(events)} events, device total {total/1e3:.1f} ms across "
-          f"{reps} steps x accum {accum} = {nmb} microbatches")
-    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:45]:
+    print(f"# {len(events)} events, device op total {total/1e3:.1f} ms "
+          f"across {reps} steps x accum {accum} = {nmb} microbatches")
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{dur/1e3/nmb:9.3f} ms/microbatch  {100*dur/total:5.1f}%  "
               f"{name[:110]}")
 
