@@ -206,6 +206,18 @@ def test_web_demo_served(tmp_path, monkeypatch):
                      f"multipart/form-data; boundary={boundary}"})
         resp = urllib.request.urlopen(req, timeout=600).read().decode()
         assert "data:image/gif;base64," in resp
+
+        # oversized upload is rejected up front with 413 (r3 advisor:
+        # unbounded Content-Length reads could exhaust host memory)
+        big = urllib.request.Request(
+            f"http://127.0.0.1:{port}/edit", data=b"",
+            headers={"Content-Type": "multipart/form-data; boundary=x",
+                     "Content-Length": str(web_demo.MAX_BODY_BYTES + 1)})
+        try:
+            urllib.request.urlopen(big, timeout=10)
+            raise AssertionError("oversized body was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
     finally:
         server.shutdown()
         server.server_close()
