@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--no-clip-filter", action="store_true",
                    help="accept all samples (when no CLIP weights exist)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ptp-version", choices=("v1", "v2"), default="v2",
+                   help="PTP sampler variant; the reference's data-gen uses "
+                        "v2 (attention-map sharing); v1 is the staged "
+                        "copy-old variant (inference_damo.py:52-157)")
     p.add_argument("--tiny", action="store_true",
                    help="fixture-sized models (CI smoke runs only)")
     return p
@@ -55,7 +59,10 @@ def main(argv=None):
     import numpy as np
 
     from insv2v_tpu.data.datasets import CLIP_SCORE_GATES
-    from insv2v_tpu.diffusion.ptp_sampler import sample_ptp_pair
+    from insv2v_tpu.diffusion.ptp_sampler import (
+        sample_ptp_pair,
+        sample_ptp_pair_v1,
+    )
     from insv2v_tpu.diffusion.schedules import (
         DiffusionSchedule,
         make_sampler_tables,
@@ -135,9 +142,10 @@ def main(argv=None):
     # static phase boundaries are quantized to the step grid (integer step
     # counts) before jitting; with the discrete sa/ca draw grids below the
     # compile-variant count is bounded at 4x6=24 (see the draw site)
+    sample_fn = sample_ptp_pair if args.ptp_version == "v2" else sample_ptp_pair_v1
     sampler = jax.jit(
         lambda p, lat, cn, co, ckv, cu, rng, gs, sa_steps, ca_steps:
-        sample_ptp_pair(
+        sample_fn(
             unet_apply, p, tables, lat, cn, co, ckv, cu, rng,
             guidance_scale=gs, sa_steps=sa_steps, ca_steps=ca_steps),
         static_argnames=("sa_steps", "ca_steps"),

@@ -15,6 +15,12 @@ latent pair in three phases —
 
 All three phases are ``lax.scan`` segments with static boundaries, so the
 whole generation jits once per shape.
+
+``sample_ptp_pair_v1`` is the staged v1 variant (``InferenceDAMO_PTP``,
+pl_trainer/inference/inference_damo.py:52-157): no attention-map sharing —
+during phase 1 only the *old* branch is denoised and the new branch copies
+it verbatim (inference_damo.py:131-132), so the pair stays bit-identical
+until ``sa_end``; phases 2/3 are identical to v2's separate passes.
 """
 
 from __future__ import annotations
@@ -26,10 +32,10 @@ import jax.numpy as jnp
 
 from insv2v_tpu.diffusion.schedules import SamplerTables, sampler_step
 
-__all__ = ["sample_ptp_pair"]
+__all__ = ["sample_ptp_pair", "sample_ptp_pair_v1"]
 
 
-def sample_ptp_pair(
+def _sample_ptp(
     unet_apply: Callable,
     params: Any,
     tables: SamplerTables,
@@ -39,21 +45,13 @@ def sample_ptp_pair(
     context_kv: Tuple[jnp.ndarray, jnp.ndarray],
     uncond_context: jnp.ndarray,
     rng: jax.Array,
-    guidance_scale: float = 9.0,
-    sa_end_time: float = 0.3,
-    ca_end_time: float = 0.8,
-    sa_steps: Optional[int] = None,
-    ca_steps: Optional[int] = None,
+    guidance_scale: float,
+    sa_end_time: float,
+    ca_end_time: float,
+    sa_steps: Optional[int],
+    ca_steps: Optional[int],
+    joint_phase1: bool,
 ) -> dict:
-    """unet_apply(params, x, t, context, sa_share) -> eps; latent is the
-    shared initial noise (B, F, h, w, C); returns old/new final latents.
-
-    Phase boundaries may be given directly as step counts (``sa_steps``/
-    ``ca_steps``) so callers jitting with static boundaries can quantize
-    continuous draws to the step grid and bound recompiles, instead of
-    paying a full recompile per unique float (fractions are quantized to
-    the same ``int(frac * steps)`` grid either way).
-    """
     s = tables.num_steps
     sa_end = int(sa_end_time * s) if sa_steps is None else int(sa_steps)
     ca_end = int(ca_end_time * s) if ca_steps is None else int(ca_steps)
@@ -71,7 +69,8 @@ def sample_ptp_pair(
         new, x0_new = sampler_step(tables, new, eps_new, i, n_new)
         return old, new, x0_old, x0_new
 
-    def phase1_step(carry, i):
+    def phase1_step_joint(carry, i):
+        # v2: 4-way joint batch with self-attention-map sharing.
         old, new, key = carry
         key, sub = jax.random.split(key)
         t = tables.timesteps[i]
@@ -83,6 +82,23 @@ def sample_ptp_pair(
         old, new, x0o, x0n = step_pair(
             old, new, cfg(eu_old, ec_old), cfg(eu_new, ec_new), i, sub)
         return (old, new, key), (x0o, x0n)
+
+    def phase1_step_copy(carry, i):
+        # v1: only the old branch is denoised; the new branch copies it
+        # verbatim (inference_damo.py:130-132) so the pair is identical
+        # until sa_end. No attention surgery.
+        old, _new, key = carry
+        key, sub = jax.random.split(key)
+        t = tables.timesteps[i]
+        x2 = jnp.concatenate([old, old], axis=0)
+        ctx2 = jnp.concatenate([uncond_context, context_old], axis=0)
+        e2 = unet_apply(params, x2, t, ctx2, False).astype(jnp.float32)
+        eps_old = cfg(*jnp.split(e2, 2, axis=0))
+        n_old = jax.random.normal(sub, old.shape, dtype=jnp.float32)
+        old, x0o = sampler_step(tables, old, eps_old, i, n_old)
+        return (old, old, key), (x0o, x0o)
+
+    phase1_step = phase1_step_joint if joint_phase1 else phase1_step_copy
 
     def make_phase23_step(new_ctx_is_kv: bool):
         def phase_step(carry, i):
@@ -127,3 +143,61 @@ def sample_ptp_pair(
         "pred_x0": x0_new[-1],
         "pred_x0_old": x0_old[-1],
     }
+
+
+def sample_ptp_pair(
+    unet_apply: Callable,
+    params: Any,
+    tables: SamplerTables,
+    latent: jnp.ndarray,
+    context_new: jnp.ndarray,
+    context_old: jnp.ndarray,
+    context_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    uncond_context: jnp.ndarray,
+    rng: jax.Array,
+    guidance_scale: float = 9.0,
+    sa_end_time: float = 0.3,
+    ca_end_time: float = 0.8,
+    sa_steps: Optional[int] = None,
+    ca_steps: Optional[int] = None,
+) -> dict:
+    """unet_apply(params, x, t, context, sa_share) -> eps; latent is the
+    shared initial noise (B, F, h, w, C); returns old/new final latents.
+
+    Phase boundaries may be given directly as step counts (``sa_steps``/
+    ``ca_steps``) so callers jitting with static boundaries can quantize
+    continuous draws to the step grid and bound recompiles, instead of
+    paying a full recompile per unique float (fractions are quantized to
+    the same ``int(frac * steps)`` grid either way).
+    """
+    return _sample_ptp(
+        unet_apply, params, tables, latent, context_new, context_old,
+        context_kv, uncond_context, rng, guidance_scale, sa_end_time,
+        ca_end_time, sa_steps, ca_steps, joint_phase1=True)
+
+
+def sample_ptp_pair_v1(
+    unet_apply: Callable,
+    params: Any,
+    tables: SamplerTables,
+    latent: jnp.ndarray,
+    context_new: jnp.ndarray,
+    context_old: jnp.ndarray,
+    context_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    uncond_context: jnp.ndarray,
+    rng: jax.Array,
+    guidance_scale: float = 9.0,
+    sa_end_time: float = 0.3,
+    ca_end_time: float = 0.8,
+    sa_steps: Optional[int] = None,
+    ca_steps: Optional[int] = None,
+) -> dict:
+    """Staged PTP v1 (``InferenceDAMO_PTP``, inference_damo.py:52-157):
+    same API as :func:`sample_ptp_pair`, but phase 1 denoises only the old
+    branch and copies it to the new branch (no attention-map sharing), so
+    old/new stay identical until ``sa_end`` and diverge only afterwards.
+    """
+    return _sample_ptp(
+        unet_apply, params, tables, latent, context_new, context_old,
+        context_kv, uncond_context, rng, guidance_scale, sa_end_time,
+        ca_end_time, sa_steps, ca_steps, joint_phase1=False)

@@ -308,7 +308,8 @@ def test_train_cli_smoke(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
-def test_generate_dataset_cli_smoke(tmp_path):
+@pytest.mark.parametrize("ptp_version", ["v2", "v1"])
+def test_generate_dataset_cli_smoke(tmp_path, ptp_version):
     prompts = [{"input": "a cat walking", "output": "a dog walking",
                 "edit": "turn the cat into a dog"}]
     pfile = str(tmp_path / "prompts.json")
@@ -323,6 +324,7 @@ def test_generate_dataset_cli_smoke(tmp_path):
         "--allow-random-weights", "--no-clip-filter",
         "--num-samples", "1", "--max-attempts", "1",
         "--steps", "3", "--num-frames", "2", "--latent-size", "8",
+        "--ptp-version", ptp_version,
     ])
     sample = os.path.join(out_dir, "sample_000000")
     assert os.path.exists(os.path.join(sample, "prompt.json"))

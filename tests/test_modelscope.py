@@ -199,3 +199,42 @@ class TestPtpSampler:
         assert out["latent"].shape == lat.shape
         assert out["latent_old"].shape == lat.shape
         assert np.abs(np.asarray(out["latent"] - out["latent_old"])).max() > 1e-4
+
+    def test_v1_staged_copies_old_then_diverges(self):
+        """v1 (inference_damo.py:52-157): phase 1 never shares attention and
+        copies old->new, so with phase 2 as the only divergent step the pair
+        differs iff the kv context differs from the old context."""
+        from insv2v_tpu.diffusion.ptp_sampler import sample_ptp_pair_v1
+
+        unet, params = tiny_unet()
+        params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+        sched = DiffusionSchedule.create()
+        tables = make_sampler_tables(sched, 6, kind="ddim")
+        lat = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 8, 4))
+        mk = lambda s: jax.random.normal(jax.random.PRNGKey(s), (1, 5, 12))
+
+        def apply_no_share(p, x, t, c, share):
+            assert share is False, "v1 must never request sa_share"
+            return unet.apply({"params": p}, x, t, c, sa_share=share)
+
+        run = lambda ckv: sample_ptp_pair_v1(
+            apply_no_share, params, tables, lat, mk(1), mk(2), ckv, mk(5) * 0,
+            jax.random.PRNGKey(9), guidance_scale=7.0, sa_steps=5, ca_steps=6)
+
+        # kv == old context: phase 1 copies, phase 2 computes identical eps
+        # (kv-tuple path == plain path when k==v==ctx), DDIM eta=0 => exact
+        same = run((mk(2), mk(2)))
+        np.testing.assert_array_equal(np.asarray(same["latent"]),
+                                      np.asarray(same["latent_old"]))
+        # distinct kv context: the single phase-2 step diverges the pair
+        diff = run((mk(3), mk(4)))
+        assert np.abs(np.asarray(diff["latent"] - diff["latent_old"])).max() > 1e-5
+        # and v2 with the same inputs behaves differently (joint sa_share
+        # phase 1): the wrapper's share-flag assertion must trip
+        import pytest
+
+        with pytest.raises(AssertionError, match="sa_share"):
+            sample_ptp_pair(
+                apply_no_share, params, tables, lat, mk(1), mk(2),
+                (mk(3), mk(4)), mk(5) * 0, jax.random.PRNGKey(9),
+                guidance_scale=7.0, sa_steps=5, ca_steps=6)
