@@ -33,7 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--edit-prompt-dict", default=None,
                    help="path to loveu_tgve_edit_prompt_dict.json "
                    "(default: <data-dir>/loveu_tgve_edit_prompt_dict."
-                   "json); only used with --prompt-source edit")
+                   "json, then the copy packaged in insv2v_tpu/data/); "
+                   "only used with --prompt-source edit")
     p.add_argument("--ckpt-path", "--ckpt", dest="ckpt_path", default=None)
     p.add_argument("--config-path", default="configs/instruct_v2v.yaml")
     p.add_argument("--data-dir", default="loveu-tgve-2023")
@@ -83,13 +84,26 @@ def main(argv=None):
     # paper's configuration; 'original' feeds the CSV's edited captions.
     edit_prompt_dict = None
     if args.prompt_source == "edit":
-        dict_path = args.edit_prompt_dict or os.path.join(
-            args.data_dir, "loveu_tgve_edit_prompt_dict.json")
-        if os.path.exists(dict_path):
+        # resolution order: explicit --edit-prompt-dict > a copy in the
+        # data dir > the benchmark data file packaged with insv2v_tpu
+        # (insv2v_tpu/data/loveu_tgve_edit_prompt_dict.json — the 76x4
+        # edit-instruction dict the reference ships, dataset/
+        # loveu_tgve_edit_prompt_dict.json), so the paper's benchmark
+        # mode works with no extra files
+        import insv2v_tpu.data as _data_pkg
+
+        candidates = [args.edit_prompt_dict] if args.edit_prompt_dict else [
+            os.path.join(args.data_dir, "loveu_tgve_edit_prompt_dict.json"),
+            os.path.join(os.path.dirname(_data_pkg.__file__),
+                         "loveu_tgve_edit_prompt_dict.json"),
+        ]
+        dict_path = next((p for p in candidates if os.path.exists(p)), None)
+        if dict_path is not None:
             with open(dict_path) as f:
                 edit_prompt_dict = json.load(f)
+            print(f"# edit prompts: {dict_path}", flush=True)
         else:
-            print(f"WARNING: --prompt-source edit but {dict_path} does not "
+            print(f"WARNING: --prompt-source edit but none of {candidates} "
                   "exist — falling back to the CSV caption columns "
                   "(--prompt-source original semantics)", flush=True)
 
