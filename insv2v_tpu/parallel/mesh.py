@@ -31,6 +31,7 @@ __all__ = [
     "shard_leaf_spec",
     "zero_sharded_like",
     "constrain_zero_sharding",
+    "assert_zero_sharded",
 ]
 
 DP_AXIS = "dp"
@@ -125,3 +126,34 @@ def constrain_zero_sharding(tree: Any, mesh: Mesh) -> Any:
         ),
         tree,
     )
+
+
+def assert_zero_sharded(opt_state: Any, mesh: Mesh) -> tuple:
+    """Assert the MATERIALIZED opt state is actually ZeRO-sharded.
+
+    Checks every committed leaf whose policy spec says P('dp', ...)
+    against its real ``.sharding`` — a silent replication regression
+    (e.g. jit out_shardings dropped, or the constraint optimized away)
+    would otherwise still produce finite losses and pass every dryrun
+    (VERDICT r4 #7). Returns ``(n_dp_sharded, n_leaves)`` for logging;
+    raises AssertionError if any dp-spec leaf is not dp-sharded or if
+    NO leaf is dp-sharded at all (the policy must bite on at least the
+    adam moments of the trainable motion params).
+    """
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    n_dp = 0
+    for leaf in leaves:
+        if not hasattr(leaf, "sharding") or not hasattr(leaf, "ndim"):
+            continue
+        spec = shard_leaf_spec(leaf, mesh)
+        if not spec or spec[0] != DP_AXIS:
+            continue
+        want = NamedSharding(mesh, spec)
+        assert leaf.sharding.is_equivalent_to(want, leaf.ndim), (
+            f"opt-state leaf {leaf.shape} should be dp-sharded per policy "
+            f"but is {leaf.sharding} (ZeRO regression)")
+        n_dp += 1
+    assert n_dp > 0, (
+        "no opt-state leaf is dp-sharded — the ZeRO policy matched "
+        "nothing (shapes too small for this mesh, or a regression)")
+    return n_dp, len(leaves)

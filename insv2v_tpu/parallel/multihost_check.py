@@ -92,6 +92,11 @@ def run(process_id: int, num_processes: int, port: int,
     loss = float(metrics["train_loss"])
     assert np.isfinite(loss), loss
     assert int(new_state.step) == 1
+    # the adam state must come out really dp-sharded across processes
+    # (ZeRO-2 regression guard, VERDICT r4 #7)
+    from insv2v_tpu.parallel.mesh import assert_zero_sharded
+
+    assert_zero_sharded(new_state.opt_state, mesh)
     return loss
 
 

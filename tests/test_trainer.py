@@ -98,6 +98,32 @@ def test_zero_sharding_spec_shards_divisible_leading_axes(setup):
     assert shard_leaf_spec(scalar, mesh) == jax.sharding.PartitionSpec()
 
 
+def test_opt_state_is_materially_zero_sharded(setup):
+    """The adam state coming OUT of a step must really be dp-sharded on
+    devices — not just spec'd (a silent replication regression would pass
+    every loss-finiteness check; VERDICT r4 #7)."""
+    from insv2v_tpu.parallel.mesh import assert_zero_sharded
+
+    trainer, make_state = setup
+    state = make_state()
+    # placed state is already ZeRO-sharded...
+    n_dp, n_opt = assert_zero_sharded(state.opt_state, trainer.mesh)
+    assert 0 < n_dp <= n_opt
+    # ...and so is the state a jitted step emits
+    step = trainer.jitted_step(state)
+    new_state, _ = step(state, batch(), jax.random.PRNGKey(1))
+    n_dp2, _ = assert_zero_sharded(new_state.opt_state, trainer.mesh)
+    assert n_dp2 == n_dp
+    # the guard actually bites: a replicated tree must fail
+    from insv2v_tpu.parallel.mesh import replicated
+
+    rep = jax.device_put(
+        jax.tree_util.tree_map(np.asarray, new_state.opt_state),
+        replicated(trainer.mesh))
+    with pytest.raises(AssertionError):
+        assert_zero_sharded(rep, trainer.mesh)
+
+
 def test_loss_decreases_over_steps(setup):
     trainer, make_state = setup
     state = make_state()
