@@ -60,6 +60,7 @@ def main(argv=None):
 
     from insv2v_tpu.data.datasets import CLIP_SCORE_GATES
     from insv2v_tpu.diffusion.ptp_sampler import (
+        frac_phase_steps,
         sample_ptp_pair,
         sample_ptp_pair_v1,
     )
@@ -169,11 +170,18 @@ def main(argv=None):
         meta_path = os.path.join(out_dir, "metadata.jsonl")
         accepted = 0
         if os.path.exists(meta_path):  # resume (video_prompt_to_prompt.py:160-168)
+            prior_versions = set()
             with open(meta_path) as f:
                 for line in f:
                     m = json.loads(line)
                     if m.get("accepted"):
                         accepted += 1
+                    prior_versions.add(m.get("ptp_version", "unrecorded"))
+            if prior_versions - {args.ptp_version}:
+                print(f"WARNING: resuming {out_dir} with --ptp-version "
+                      f"{args.ptp_version}, but existing records were "
+                      f"generated with {sorted(prior_versions)} — the "
+                      "sample set will mix PTP variants", flush=True)
         with open(os.path.join(out_dir, "prompt.json"), "w") as f:
             json.dump(prompt, f)
 
@@ -208,12 +216,15 @@ def main(argv=None):
 
             lat = jax.random.normal(
                 jax.random.PRNGKey(seed), (1, args.num_frames, hw, hw, 4))
-            sa_steps = int(sa_end * args.steps)
+            # reference boundary semantics (`i < frac*steps`, fractional
+            # step included): int(frac*steps) undercounted one step for
+            # half the sa/ca grid points (r4 advisor)
+            sa_steps = frac_phase_steps(sa_end, args.steps)
             # tiny-step safeguard: at the reference's >=20 steps the sa/ca
             # grids can never collide on the step grid, but smoke runs with
             # steps<=6 can quantize both to the same step count
-            ca_steps = min(max(int(ca_end * args.steps), sa_steps + 1),
-                           args.steps)
+            ca_steps = min(max(frac_phase_steps(ca_end, args.steps),
+                               sa_steps + 1), args.steps)
             out = sampler(params["unet"], lat, ctx_new, ctx_old,
                           (jnp.asarray(key_ctx), jnp.asarray(val_ctx)),
                           ctx_un, jax.random.PRNGKey(seed), guidance,
@@ -242,7 +253,7 @@ def main(argv=None):
                 ok = True
             record = dict(seed=seed, guidance=guidance, sa_end=sa_end,
                           ca_end=ca_end, edit_weight=edit_weight,
-                          accepted=ok, **scores)
+                          ptp_version=args.ptp_version, accepted=ok, **scores)
             with open(meta_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
             if ok:

@@ -32,7 +32,17 @@ import jax.numpy as jnp
 
 from insv2v_tpu.diffusion.schedules import SamplerTables, sampler_step
 
-__all__ = ["sample_ptp_pair", "sample_ptp_pair_v1"]
+__all__ = ["sample_ptp_pair", "sample_ptp_pair_v1", "frac_phase_steps"]
+
+
+def frac_phase_steps(frac: float, num_steps: int) -> int:
+    """Number of steps in a phase ending at fraction ``frac`` — the
+    reference's semantics (inference_damo.py: phase 1 runs while
+    ``i < frac * num_ddim_steps``), i.e. the fractional step is INCLUDED:
+    sa_end=0.35 at 30 steps gives 11 steps, not the 10 of
+    ``int(frac*steps)``. Implemented as the literal comparison count so
+    float dust resolves exactly like the reference's ``<``."""
+    return sum(1 for i in range(num_steps) if i < frac * num_steps)
 
 
 def _sample_ptp(
@@ -53,8 +63,8 @@ def _sample_ptp(
     joint_phase1: bool,
 ) -> dict:
     s = tables.num_steps
-    sa_end = int(sa_end_time * s) if sa_steps is None else int(sa_steps)
-    ca_end = int(ca_end_time * s) if ca_steps is None else int(ca_steps)
+    sa_end = frac_phase_steps(sa_end_time, s) if sa_steps is None else int(sa_steps)
+    ca_end = frac_phase_steps(ca_end_time, s) if ca_steps is None else int(ca_steps)
     assert sa_end < ca_end <= s, (sa_end, ca_end, s)
     gs = jnp.float32(guidance_scale)
 
@@ -167,8 +177,10 @@ def sample_ptp_pair(
     Phase boundaries may be given directly as step counts (``sa_steps``/
     ``ca_steps``) so callers jitting with static boundaries can quantize
     continuous draws to the step grid and bound recompiles, instead of
-    paying a full recompile per unique float (fractions are quantized to
-    the same ``int(frac * steps)`` grid either way).
+    paying a full recompile per unique float. Fractional boundaries use
+    the reference's ``i < frac * steps`` counting (fractional step
+    included — :func:`frac_phase_steps`); callers passing step counts
+    should quantize the same way for exact reference parity.
     """
     return _sample_ptp(
         unet_apply, params, tables, latent, context_new, context_old,

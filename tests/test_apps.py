@@ -369,9 +369,72 @@ def test_generate_dataset_cli_smoke(tmp_path, ptp_version):
     imgs = os.listdir(os.path.join(sample, "image"))
     # 2 frames x 2 videos (old/new)
     assert len([i for i in imgs if i.endswith(".jpg")]) == 4
+    # variant provenance is recorded per attempt (r4 advisor)
+    records = [json.loads(l) for l in open(os.path.join(sample,
+                                                        "metadata.jsonl"))]
+    assert all(r["ptp_version"] == ptp_version for r in records)
     # the generated folder is loadable by the training dataset
     from insv2v_tpu.data.datasets import VideoPromptToPromptDataset
 
     ds = VideoPromptToPromptDataset.__new__(VideoPromptToPromptDataset)
     seeds = ds._accepted_seeds(sample)
     assert len(seeds) == 1
+    # resuming with the OTHER variant warns about mixing (r4 advisor)
+    other = "v1" if ptp_version == "v2" else "v2"
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        generate_dataset.main([
+            "--prompts", pfile, "--output-dir", out_dir, "--tiny",
+            "--allow-random-weights", "--no-clip-filter",
+            "--num-samples", "2", "--max-attempts", "1",
+            "--steps", "3", "--num-frames", "2", "--latent-size", "8",
+            "--ptp-version", other,
+        ])
+    assert "mix PTP variants" in buf.getvalue()
+
+
+def test_frac_phase_steps_reference_semantics():
+    """Phase boundaries quantize like the reference's `i < frac*steps`
+    (fractional step INCLUDED): sa_end=0.35 @ 30 steps is 11 steps, not
+    int()'s 10 (r4 advisor — half the data-gen grid hit the off-by-one)."""
+    from insv2v_tpu.diffusion.ptp_sampler import frac_phase_steps
+
+    assert frac_phase_steps(0.35, 30) == 11
+    assert frac_phase_steps(0.3, 30) == 9     # exact products unchanged
+    assert frac_phase_steps(0.45, 30) == 14
+    assert frac_phase_steps(0.65, 30) == 20   # 19.5 -> 20
+    assert frac_phase_steps(1.0, 30) == 30
+    assert frac_phase_steps(0.0, 30) == 0
+    # the literal-count form matches the reference comparison bit-for-bit
+    for frac in (0.3, 0.35, 0.4, 0.45, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85):
+        for s in (6, 20, 30, 50):
+            assert frac_phase_steps(frac, s) == sum(
+                1 for i in range(s) if i < frac * s)
+
+
+@pytest.mark.slow
+def test_tpu_parity_cpu_smoke():
+    """tools/tpu_parity.py --small must pass on CPU (interpret-mode
+    kernels) — the numerics gate's smoke coverage (r4 advisor: the
+    docstring claimed this test existed)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "tpu_parity.py"),
+         "--small"],
+        capture_output=True, text=True, timeout=1500, env=env, cwd=repo)
+    assert proc.returncode == 0, f"rc={proc.returncode}\n{proc.stdout}\n{proc.stderr}"
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["failures"] == 0
+    assert {c["name"] for c in result["checks"]} >= {
+        "flash_l0", "flash_l1", "flash_vjp", "ff_resident", "ff_streamed",
+        "ff_vjp", "packed_xla"}
