@@ -193,21 +193,34 @@ def main():
 
     windows = split_windows(NUM_FRAMES, WINDOW, NUM_REF)
 
-    # BENCH_AOT=1: serve window_ref from the AOT executable cache
+    # BENCH_AOT=1 (default — VERDICT r4 #2a: the warm start must be
+    # driver-visible): serve window_ref from the AOT executable cache
     # (utils/aot_cache.py) — a warm start then skips Python tracing +
     # StableHLO lowering of the huge window program, not just the XLA
     # compile (VERDICT r3 #8: the ~118 s cache-warm warmup paid per
     # LOVEU shard worker). Dispatcher keyed on batch size; falls back
-    # to the plain jit for unseen shapes.
-    if os.environ.get("BENCH_AOT", "0") == "1":
-        from insv2v_tpu.utils.aot_cache import load_or_compile
+    # to the plain jit for unseen shapes. The VAE encode/decode and text
+    # encode executables (14.2 s + 1.8 s first calls) are AOT'd below
+    # via lazy_aot, keyed by their first-call avals (VERDICT r4 #2b).
+    if os.environ.get("BENCH_AOT", "1") == "1":
+        from insv2v_tpu.utils.aot_cache import lazy_aot, load_or_compile
+
+        if E2E:
+            encode_text = lazy_aot("bench_text", encode_text)
+            vae_encode = lazy_aot("bench_vae_enc", vae_encode)
+            vae_decode = lazy_aot("bench_vae_dec", vae_decode)
+
+        # example avals must match the REAL window shape: at
+        # BENCH_FRAMES < WINDOW the chain runs smaller windows and a
+        # WINDOW-sized executable would never serve (per-call fallback)
+        f_win = windows[0].num_frames
 
         def _ex_args(b):
             z = lambda *s: jnp.zeros(s, jnp.float32)
             ctx_z = jnp.zeros((b, 77, cfg.cross_attention_dim), jnp.bfloat16)
-            return (params, z(b, WINDOW, h, w, 4), z(b, WINDOW, h, w, 4),
+            return (params, z(b, f_win, h, w, 4), z(b, f_win, h, w, 4),
                     ctx_z, ctx_z, jax.random.PRNGKey(0),
-                    z(b, WINDOW, h, w, 4), jnp.int32(0), jnp.int32(0))
+                    z(b, f_win, h, w, 4), jnp.int32(0), jnp.int32(0))
 
         _w_jit = window_ref
         _w_aot = {}

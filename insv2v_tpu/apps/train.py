@@ -186,6 +186,15 @@ def main(argv=None):
                 raise
             print("no checkpoint found; starting fresh")
     state = trainer.place_state(state)
+    # production launches pay 330-360 s of train-step compile otherwise
+    # (the accum-256 program misses the persistent compile cache —
+    # PERF.md r4); the AOT executable cache loads the pickled compiled
+    # step instead. Defaulted on for TPU only: XLA:CPU re-deserialization
+    # of a train-step executable in a resumed process can poison output
+    # buffers ("Buffer Definition Event ... not found" at materialization
+    # — hit by the resume smoke test); INSV2V_AOT_TRAIN=0/1 overrides.
+    if jax.default_backend() == "tpu":
+        os.environ.setdefault("INSV2V_AOT_TRAIN", "1")
     step_fn = trainer.jitted_step(state)
 
     train_ds, _ = get_dataset(cfg)
@@ -245,10 +254,17 @@ def _train_loop(args, cfg, tr, tcfg, trainer, state, step_fn, it, logger,
     if validate is not None:
         from insv2v_tpu.training.validation import save_preview_grid
 
+    aot_done = False
     while int(state.step) < max_steps:
         t0 = time.perf_counter()
         local_batch = next(it)
         batch = make_global_batch(trainer.mesh, local_batch)
+        if not aot_done:
+            # first batch carries the production avals: swap in the
+            # AOT-cached executable (no-op when INSV2V_AOT_TRAIN=0;
+            # lowering only traces — the example args are not consumed)
+            step_fn = trainer.aot_step(state, batch, rng)
+            aot_done = True
         state, metrics = step_fn(state, batch, rng)
         loss = float(metrics["train_loss"])
         step = int(state.step)

@@ -102,11 +102,13 @@ class VideoEditor:
             functools.partial(self._window_impl, with_ref=True, with_flow=True),
             static_argnames=("noise_correct_step",),
         )
-        # INSV2V_AOT_PIPELINE=1: serve the window samplers from the AOT
-        # executable cache — a warm worker start then skips tracing +
-        # lowering + compile-cache load of the big window program (129 s
-        # -> ~48 s start-to-first-edit measured on the v5e, PERF.md r4).
-        # The LOVEU runner turns this on for its shard workers.
+        # INSV2V_AOT_PIPELINE=1: serve the window samplers AND the
+        # text/VAE executables from the AOT executable cache — a warm
+        # worker start then skips tracing + lowering + compile-cache
+        # load (129 s -> ~48 s start-to-first-edit for the windows
+        # alone, PERF.md r4; the VAE decode was another 14.2 s outside
+        # the cache until r5 — VERDICT r4 #2b). The LOVEU runner turns
+        # this on for its shard workers.
         if os.environ.get("INSV2V_AOT_PIPELINE", "0") == "1":
             from insv2v_tpu.utils.aot_cache import lazy_aot
 
@@ -121,6 +123,9 @@ class VideoEditor:
             self._window_flow = lazy_aot(
                 "pipe_window_flow", self._window_flow,
                 static_names=("noise_correct_step",), extra=sampler_cfg)
+            self._encode_text = lazy_aot("pipe_text", self._encode_text)
+            self._vae_encode = lazy_aot("pipe_vae_enc", self._vae_encode)
+            self._vae_decode = lazy_aot("pipe_vae_dec", self._vae_decode)
 
     # --- jitted pieces ----------------------------------------------------
 

@@ -282,3 +282,30 @@ class Trainer:
                 donate_argnums=(0,),
             )
         return self._step_fn
+
+    def aot_step(self, state: TrainState, example_batch: Dict, example_rng):
+        """The jitted step, served from the AOT executable cache when
+        ``INSV2V_AOT_TRAIN=1`` (apps/train.py defaults it on).
+
+        The production accum-256 step never hits the persistent XLA
+        compile cache (330-360 s of compile on EVERY training launch —
+        PERF.md r4); pickling the compiled executable skips trace, lower
+        AND compile on warm starts. ``extra`` carries every closure
+        constant that shapes the program but is invisible to the key's
+        avals: the full TrainConfig (optimizer/loss/lr/accum), the model
+        module configs (e.g. ``remat`` changes the program at identical
+        avals), and the mesh layout. Falls back to the live jitted step
+        on any failure. Example args are only traced/lowered, never
+        executed or donated."""
+        import os
+
+        step = self.jitted_step(state)
+        if os.environ.get("INSV2V_AOT_TRAIN", "0") != "1":
+            return step
+        from insv2v_tpu.utils.aot_cache import load_or_compile
+
+        extra = (repr(self.cfg), repr(self.unet), repr(self.vae),
+                 repr(self.text_encoder),
+                 repr(sorted(dict(self.mesh.shape).items())))
+        return load_or_compile("train_step", step, state, example_batch,
+                               example_rng, extra=extra)
