@@ -206,9 +206,14 @@ def main():
         print(f"# memory_stats unavailable: {e}", file=sys.stderr)
 
     # static fallback when the relay hides runtime memory stats: XLA's own
-    # compile-time memory analysis (args + outputs + temps + generated code)
+    # compile-time memory analysis (args + outputs + temps + generated code).
+    # TRAIN_MEM_ANALYSIS=0 skips it: lower().compile() bypasses the jit
+    # dispatch cache, so on an AOT-warm run this block alone would re-pay
+    # the full 330 s compile the AOT cache just skipped.
     hbm_analysis_gb = None
     try:
+        if os.environ.get("TRAIN_MEM_ANALYSIS", "1") == "0":
+            raise RuntimeError("skipped (TRAIN_MEM_ANALYSIS=0)")
         ma = step_fn.lower(state, make_batch(0), rng).compile().memory_analysis()
         total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
                  + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes
