@@ -40,7 +40,7 @@ from insv2v_tpu.ops.embeddings import (
     temporal_positional_encoding_table,
     timestep_embedding,
 )
-from insv2v_tpu.ops.norms import group_norm, layer_norm
+from insv2v_tpu.ops.norms import group_norm, group_norm_split_pair, layer_norm
 from insv2v_tpu.ops.resize import nearest_upsample_2x
 from insv2v_tpu.utils.registry import register
 
@@ -630,9 +630,51 @@ class MotionModule(nn.Module):
         return seq.reshape(b, f, h, w, c) + residual
 
 
+# INSV2V_SPLIT_SKIP (r5 copy-class experiment, PERF.md r5): consume the
+# up-block skip WITHOUT materializing concat([x, skip], -1). The concat
+# only feeds norm1 -> conv1 and conv_shortcut; GN statistics compose from
+# per-part moments (ops/norms.py group_norm_split_pair) and a conv on a
+# channel-concat equals the sum of convs with the kernel channel-sliced,
+# so the assembly copies the concat buffer costs can be skipped entirely.
+# Identical math and param tree (oracle/golden tests run with it off).
+_SPLIT_SKIP = _os.environ.get("INSV2V_SPLIT_SKIP", "0") == "1"
+
+
+class _ConvParams(nn.Module):
+    """Param-only nn.Conv; same tree/init as ``nn.Conv(features,
+    kernel_size, name=...)`` so the converter and state dicts see no
+    difference between the split and concat skip paths."""
+
+    kernel_size: Tuple[int, int]
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        shape = tuple(self.kernel_size) + (self.in_features, self.features)
+        return (self.param("kernel", nn.initializers.lecun_normal(), shape),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+def _conv2d_bf(x, kernel, bias, dtype, padding):
+    """(B, F, H, W, C) conv with (B, F) as joint batch — the same lowering
+    nn.Conv produces for the 5D stream (one NHWC conv, no frame loop)."""
+    b, f, h, w, c = x.shape
+    y = jax.lax.conv_general_dilated(
+        x.reshape(b * f, h, w, c).astype(dtype), kernel.astype(dtype),
+        (1, 1), ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y.reshape(b, f, y.shape[1], y.shape[2], y.shape[3])
+
+
 class ResnetBlock3D(nn.Module):
     """resnet.py:110-204: GN(5D, across frames) -> SiLU -> conv -> +temb ->
-    GN -> SiLU -> conv, with 1x1 shortcut on channel change."""
+    GN -> SiLU -> conv, with 1x1 shortcut on channel change.
+
+    ``skip`` (up-block residual) is concatenated on the channel axis —
+    or, under INSV2V_SPLIT_SKIP, consumed via the split path above."""
 
     out_channels: int
     num_groups: int = 32
@@ -640,7 +682,13 @@ class ResnetBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb):
+    def __call__(self, x, temb, skip=None):
+        split = skip is not None and _SPLIT_SKIP and "norms" not in _ABLATE
+        if skip is not None and not split:
+            x = jnp.concatenate([x, skip], axis=-1)
+            skip = None
+        if split:
+            return self._split_forward(x, temb, skip)
         h = GroupNorm(self.num_groups, eps=self.eps, name="norm1")(x)
         h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -656,6 +704,33 @@ class ResnetBlock3D(nn.Module):
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
         return x + h
+
+    def _split_forward(self, x, temb, skip):
+        """The INSV2V_SPLIT_SKIP path: same math and param tree as the
+        concat path, with conv1/conv_shortcut kernels channel-sliced and
+        norm1 computed from combined per-part moments."""
+        c1 = x.shape[-1]
+        ct = c1 + skip.shape[-1]
+        assert ct != self.out_channels, "split path expects a channel change"
+        scale, bias = _AffineParams(ct, name="norm1")()
+        xn, sn = group_norm_split_pair(x, skip, scale, bias,
+                                       min(self.num_groups, ct), self.eps)
+        xn, sn = jax.nn.silu(xn), jax.nn.silu(sn)
+        k1, b1 = _ConvParams((3, 3), ct, self.out_channels, name="conv1")()
+        h = (_conv2d_bf(xn, k1[:, :, :c1], b1, self.dtype, 1)
+             + _conv2d_bf(sn, k1[:, :, c1:], None, self.dtype, 1))
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     name="time_emb_proj")(jax.nn.silu(temb))
+        h = h + t[:, None, None, None, :]
+        h = GroupNorm(self.num_groups, eps=self.eps, name="norm2")(h)
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        ks, bs = _ConvParams((1, 1), ct, self.out_channels,
+                             name="conv_shortcut")()
+        res = (_conv2d_bf(x, ks[:, :, :c1], bs, self.dtype, 0)
+               + _conv2d_bf(skip, ks[:, :, c1:], None, self.dtype, 0))
+        return res + h
 
 
 class Downsample3D(nn.Module):
@@ -760,9 +835,9 @@ class UpBlock3D(nn.Module):
         cfg = self.cfg
         skips = list(skips)
         for i in range(cfg.layers_per_block + 1):
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlock3D(self.out_channels, cfg.norm_num_groups, cfg.norm_eps,
-                              dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+                              dtype=self.dtype, name=f"resnets_{i}")(
+                x, temb, skip=skips.pop())
             if self.has_cross_attention:
                 x = Transformer3DModel(
                     cfg.attention_head_dim,

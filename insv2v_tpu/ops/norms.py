@@ -23,7 +23,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["group_norm", "layer_norm"]
+__all__ = ["group_norm", "group_norm_split_pair", "layer_norm"]
 
 
 import os as _os0
@@ -146,6 +146,67 @@ def group_norm(
     xf = xg.reshape(x.shape)
     out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return out.astype(orig_dtype)
+
+
+def group_norm_split_pair(
+    x: jnp.ndarray,
+    skip: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+) -> tuple:
+    """GroupNorm of the VIRTUAL ``concat([x, skip], -1)`` without ever
+    materializing the concat (unet3d.py INSV2V_SPLIT_SKIP up-block path).
+
+    Per-part f32 channel moments (sum, sum-of-squares over all non-batch,
+    non-channel axes — the ACROSS-frames regime of ResnetBlock3D) are
+    combined into per-group statistics, then each part is normalized and
+    affined in place with its slice of ``scale``/``bias``. Groups may
+    straddle the part boundary (e.g. 1280+640 channels at group size 60).
+
+    Uses the one-pass E[x^2] - mean^2 variance (the two-pass form of
+    :func:`group_norm` cannot compose across parts); on O(1) activations
+    the f32 difference is ~1e-6 relative — below the bf16 quantization
+    already on this path.
+
+    Returns ``(x_n, skip_n)`` in the inputs' dtype.
+    """
+    assert x.shape[:-1] == skip.shape[:-1], (x.shape, skip.shape)
+    c1, c2 = x.shape[-1], skip.shape[-1]
+    ct = c1 + c2
+    assert ct % num_groups == 0, f"channels {ct} not divisible by {num_groups}"
+    gs = ct // num_groups
+    red = tuple(range(1, x.ndim - 1))
+    n = gs
+    for a in red:
+        n *= x.shape[a]
+
+    def mom(p):
+        pf = p.astype(jnp.float32)
+        return jnp.sum(pf, red), jnp.sum(jnp.square(pf), red)  # (B, c_part)
+
+    s1, q1 = mom(x)
+    s2, q2 = mom(skip)
+    b_dim = x.shape[0]
+    s = jnp.concatenate([s1, s2], -1).reshape(b_dim, num_groups, gs).sum(-1)
+    q = jnp.concatenate([q1, q2], -1).reshape(b_dim, num_groups, gs).sum(-1)
+    mean = s / n
+    var = jnp.maximum(q / n - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)  # (B, G)
+    # fold the affine: out = p * (inv * scale) + (bias - mean * inv * scale)
+    mean_c = jnp.repeat(mean, gs, axis=-1)  # (B, C_total)
+    inv_c = jnp.repeat(inv, gs, axis=-1)
+    sc = inv_c * scale.astype(jnp.float32)[None]
+    off = bias.astype(jnp.float32)[None] - mean_c * sc
+    bshape = (b_dim,) + (1,) * len(red)
+
+    def apply(p, lo, hi):
+        scp = sc[:, lo:hi].reshape(bshape + (hi - lo,))
+        offp = off[:, lo:hi].reshape(bshape + (hi - lo,))
+        return (p.astype(jnp.float32) * scp + offp).astype(p.dtype)
+
+    return apply(x, 0, c1), apply(skip, c1, ct)
 
 
 import os as _os

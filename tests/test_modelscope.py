@@ -200,6 +200,39 @@ class TestPtpSampler:
         assert out["latent_old"].shape == lat.shape
         assert np.abs(np.asarray(out["latent"] - out["latent_old"])).max() > 1e-4
 
+    def test_batched_pairs_match_solo_chains(self):
+        """Pair-batching parity (tools/bench_datagen.py's A/B premise):
+        B same-prompt pairs with distinct initial latents in ONE chain must
+        be per-element equal to B solo chains. Holds because DDIM eta=0
+        never adds the per-step noise, every other op is per-batch-element,
+        and sa_share's (4, b/4) group reshape is batch-major — group g row
+        j pairs with group g-1 row j = the same (element, frame)/(element,
+        pixel) at any B (models/modelscope_t2v.py PtpCrossAttention)."""
+        unet, params = tiny_unet()
+        params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+        sched = DiffusionSchedule.create()
+        tables = make_sampler_tables(sched, 6, kind="ddim")
+        mk = lambda s, b=1: jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(s), (1, 5, 12)), (b, 5, 12))
+        lat2 = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 8, 8, 4))
+
+        def run(lat, b):
+            return sample_ptp_pair(
+                lambda p, x, t, c, share: unet.apply({"params": p}, x, t, c,
+                                                     sa_share=share),
+                params, tables, lat, mk(1, b), mk(2, b),
+                (mk(3, b), mk(4, b)), mk(5, b) * 0,
+                jax.random.PRNGKey(9), guidance_scale=7.0,
+                sa_steps=2, ca_steps=4)
+
+        batched = run(lat2, 2)
+        for i in range(2):
+            solo = run(lat2[i: i + 1], 1)
+            for key in ("latent", "latent_old"):
+                np.testing.assert_allclose(
+                    np.asarray(batched[key][i]), np.asarray(solo[key][0]),
+                    atol=1e-5, rtol=1e-5, err_msg=f"{key} element {i}")
+
     def test_v1_staged_copies_old_then_diverges(self):
         """v1 (inference_damo.py:52-157): phase 1 never shares attention and
         copies old->new, so with phase 2 as the only divergent step the pair

@@ -119,3 +119,31 @@ def test_batch_of_cfg_triple_shapes():
     out = model.apply(variables, jnp.zeros((3, 2, 8, 8, 8)),
                       jnp.zeros((3,), jnp.int32), jnp.zeros((3, 3, 12)))
     assert out.shape == (3, 2, 8, 8, 4)
+
+
+def test_split_skip_path_matches_concat_path(monkeypatch):
+    """INSV2V_SPLIT_SKIP (r5 copy-class experiment): the up-block split
+    path — combined-moment GN + channel-sliced conv1/conv_shortcut — must
+    be numerically equivalent to the materialized concat path and use the
+    IDENTICAL param tree (converter/state-dict compatibility)."""
+    import insv2v_tpu.models.unet3d as unet3d_mod
+
+    oracle, model, variables = build_pair(seed=5)
+    rs = np.random.RandomState(2)
+    sample = rs.randn(2, 2, 8, 8, 8).astype(np.float32)
+    context = rs.randn(2, 3, 12).astype(np.float32)
+    t = np.array([250, 600], dtype=np.int64)
+    args = (jnp.asarray(sample), jnp.asarray(t), jnp.asarray(context))
+
+    ref = model.apply(variables, *args)
+    monkeypatch.setattr(unet3d_mod, "_SPLIT_SKIP", True)
+    init_split = model.init(jax.random.PRNGKey(0), *args)
+    got = model.apply(variables, *args)
+
+    # identical param tree under the flag (split uses param-only modules)
+    ref_shapes = jax.tree_util.tree_map(np.shape, variables["params"])
+    got_shapes = jax.tree_util.tree_map(jnp.shape, init_split["params"])
+    assert ref_shapes == got_shapes
+    # one-pass vs two-pass GN variance: ~1e-6 relative in f32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
