@@ -352,14 +352,21 @@ def main():
 
     batched_fps = None
     if BATCH > 1:
-        t_c = time.perf_counter()
-        jax.block_until_ready(run_edit(0, BATCH))
-        print(f"# compile+warmup b={BATCH}: {time.perf_counter()-t_c:.1f}s",
-              file=sys.stderr)
-        bts = timed(run_edit, max(1, REPS - 1), BATCH)
-        batched_fps = BATCH * NUM_FRAMES / min(bts)
-        print(f"# e2e edit times (b={BATCH}): {[f'{t:.2f}' for t in bts]} s",
-              file=sys.stderr)
+        # the batched variant is a supplementary metric (prompt batching is
+        # default-off per the r3 measured negative): a variant-only compile
+        # failure must degrade to batched_fps=null, never kill the bench
+        try:
+            t_c = time.perf_counter()
+            jax.block_until_ready(run_edit(0, BATCH))
+            print(f"# compile+warmup b={BATCH}: {time.perf_counter()-t_c:.1f}s",
+                  file=sys.stderr)
+            bts = timed(run_edit, max(1, REPS - 1), BATCH)
+            batched_fps = BATCH * NUM_FRAMES / min(bts)
+            print(f"# e2e edit times (b={BATCH}): {[f'{t:.2f}' for t in bts]} s",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover - device/compiler specific
+            print(f"# batched variant b={BATCH} failed: "
+                  f"{str(e).splitlines()[0][:200]}", file=sys.stderr)
 
     # "mfu" = ISSUED-FLOPs utilization: XLA-counted FLOPs for ONE fused
     # 3xCFG denoise step x (steps x windows) / wall / peak. "Issued"

@@ -636,8 +636,14 @@ class MotionModule(nn.Module):
 # per-part moments (ops/norms.py group_norm_split_pair) and a conv on a
 # channel-concat equals the sum of convs with the kernel channel-sliced,
 # so the assembly copies the concat buffer costs can be skipped entirely.
-# Identical math and param tree (oracle/golden tests run with it off).
-_SPLIT_SKIP = _os.environ.get("INSV2V_SPLIT_SKIP", "0") == "1"
+# Identical math and param tree; default ON for single-edit batches
+# (measured -0.4 s/edit e2e). Gated to traced batch <= MAX_B because at
+# batch 6 (two prompt-batched edits x 3-way CFG) the re-scheduled program
+# pushed the motion-FF Pallas kernel's scoped-vmem accounting 752 KB over
+# the 16 MB limit (compile failure, PERF.md r5) — larger batches keep the
+# proven concat path.
+_SPLIT_SKIP = _os.environ.get("INSV2V_SPLIT_SKIP", "1") == "1"
+_SPLIT_SKIP_MAX_B = int(_os.environ.get("INSV2V_SPLIT_SKIP_MAX_B", "3"))
 
 
 class _ConvParams(nn.Module):
@@ -683,7 +689,9 @@ class ResnetBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, skip=None):
-        split = skip is not None and _SPLIT_SKIP and "norms" not in _ABLATE
+        split = (skip is not None and _SPLIT_SKIP
+                 and x.shape[0] <= _SPLIT_SKIP_MAX_B
+                 and "norms" not in _ABLATE)
         if skip is not None and not split:
             x = jnp.concatenate([x, skip], axis=-1)
             skip = None

@@ -135,6 +135,7 @@ def test_split_skip_path_matches_concat_path(monkeypatch):
     t = np.array([250, 600], dtype=np.int64)
     args = (jnp.asarray(sample), jnp.asarray(t), jnp.asarray(context))
 
+    monkeypatch.setattr(unet3d_mod, "_SPLIT_SKIP", False)
     ref = model.apply(variables, *args)
     monkeypatch.setattr(unet3d_mod, "_SPLIT_SKIP", True)
     init_split = model.init(jax.random.PRNGKey(0), *args)
