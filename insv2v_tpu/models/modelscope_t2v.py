@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from insv2v_tpu.ops.attention import dot_attention_bshd
 from insv2v_tpu.ops.norms import group_norm, layer_norm
 from insv2v_tpu.ops.resize import nearest_upsample_2x
 
@@ -122,22 +123,25 @@ class PtpCrossAttention(nn.Module):
             k_src = v_src = context
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(k_src)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(v_src)
-        b, sq, _ = q.shape
-        sk = k.shape[1]
-        qh = q.reshape(b, sq, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        kh = k.reshape(b, sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        vh = v.reshape(b, sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32)
-        logits = logits * jnp.float32(self.head_dim ** -0.5)
+        b = q.shape[0]
         if is_self and sa_share:
-            # share attention maps: new branches reuse old branches' sims
-            g = logits.reshape((4, b // 4) + logits.shape[1:])
-            logits = g[jnp.asarray([0, 0, 2, 2])].reshape(logits.shape)
-        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
-        o = o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+            # Share attention maps: new branches (groups 1, 3) reuse old
+            # branches' (0, 2) attention. Replacing the LOGITS of group g
+            # with group g-1's (the reference's map surgery,
+            # unet_sd.py:412-447) is exactly gathering Q and K from group
+            # g-1 while keeping the branch's own V:
+            #   probs_g = softmax(q_{g-1} k_{g-1}^T);  out_g = probs_g v_g
+            # Expressed this way every attention backend applies — the
+            # long spatial sequences take the Pallas flash kernel below
+            # instead of materializing (B, h, S, S) logits.
+            g4 = lambda t: t.reshape((4, b // 4) + t.shape[1:])
+            idx = jnp.asarray([0, 0, 2, 2])
+            q = g4(q)[idx].reshape(q.shape)
+            k = g4(k)[idx].reshape(k.shape)
+        # auto-dispatch: Pallas flash for long spatial sequences on TPU,
+        # fused-XLA f32-softmax attention for short (77-token cross /
+        # frame-axis temporal) sequences — ops/attention.py
+        o = dot_attention_bshd(q, k, v, self.heads)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
 
 

@@ -123,8 +123,10 @@ def main():
 
     # issued-FLOPs utilization (VERDICT r4 #3): cost ONE step of each
     # phase at b=1 (cost_analysis counts a scan body once, so never cost
-    # the whole chain — bench.py) x step counts + the 2F decode. UNetSD
-    # has no Pallas kernels, so XLA's count sees everything.
+    # the whole chain — bench.py) x step counts + the 2F decode.
+    # UNDERCOUNTS since r5: the long spatial attentions now run in the
+    # Pallas flash kernel, whose FLOPs cost_analysis cannot see (same
+    # caveat as bench.py's mfu) — treat util as a lower bound.
     lat1 = jnp.zeros((1, f, hw, hw, 4))
     cn1, co1, ckv1, cu1 = ctxs(1)
     t0i = tables.timesteps[0]
