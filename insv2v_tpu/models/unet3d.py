@@ -108,6 +108,11 @@ class UNetConfig:
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
     remat: bool = False
+    # None -> the INSV2V_SPLIT_SKIP env default. The trainer forces False:
+    # under remat the split path keeps extra per-part buffers alive and
+    # pushed the production accum-256 step 47 MB over the 15.75 GiB HBM
+    # (measured r5 compile OOM); inference has the headroom and the win.
+    split_skip: Optional[bool] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -686,10 +691,12 @@ class ResnetBlock3D(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    split_skip: Optional[bool] = None  # None -> INSV2V_SPLIT_SKIP default
 
     @nn.compact
     def __call__(self, x, temb, skip=None):
-        split = (skip is not None and _SPLIT_SKIP
+        enabled = _SPLIT_SKIP if self.split_skip is None else self.split_skip
+        split = (skip is not None and enabled
                  and x.shape[0] <= _SPLIT_SKIP_MAX_B
                  and "norms" not in _ABLATE)
         if skip is not None and not split:
@@ -844,7 +851,8 @@ class UpBlock3D(nn.Module):
         skips = list(skips)
         for i in range(cfg.layers_per_block + 1):
             x = ResnetBlock3D(self.out_channels, cfg.norm_num_groups, cfg.norm_eps,
-                              dtype=self.dtype, name=f"resnets_{i}")(
+                              dtype=self.dtype, split_skip=cfg.split_skip,
+                              name=f"resnets_{i}")(
                 x, temb, skip=skips.pop())
             if self.has_cross_attention:
                 x = Transformer3DModel(

@@ -133,6 +133,16 @@ class Trainer:
 
     def __init__(self, unet, vae, text_encoder, cfg: TrainConfig = TrainConfig(),
                  mesh=None):
+        if hasattr(getattr(unet, "cfg", None), "split_skip"):
+            # the split-skip up-block path is an inference win but keeps
+            # extra per-part buffers alive under remat: the production
+            # accum-256 step measured 47 MB OVER the 15.75 GiB HBM with it
+            # (r5 compile OOM). Param tree is identical, so forcing the
+            # concat path here changes nothing about checkpoints.
+            import dataclasses as _dc
+
+            unet = _dc.replace(unet, cfg=_dc.replace(unet.cfg,
+                                                     split_skip=False))
         self.unet = unet
         self.vae = vae
         self.text_encoder = text_encoder
