@@ -158,3 +158,12 @@ def test_channel_packed_batch_matches_unpacked(setup):
     l2 = jax.tree_util.tree_leaves(s2.params)
     for a, c in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_trainer_forces_concat_skip_path(setup):
+    """The trainer must pin split_skip=False on its UNet: the split
+    up-block path OOM'd the production accum-256 step's HBM by 47 MB
+    (PERF.md r5). Inference models keep the env-default (None)."""
+    trainer, *_ = setup
+    assert trainer.unet.cfg.split_skip is False
+    assert UNet3DConditionModel(cfg=UNetConfig.tiny()).cfg.split_skip is None
